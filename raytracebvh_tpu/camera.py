@@ -1,0 +1,153 @@
+"""Camera matrices and ray generation.
+
+Replicates the DirectXMath row-vector conventions the reference host code
+uses (reference: Graphics.cpp:44-53 builds world*view*proj with
+XMMatrixLookAtLH / XMMatrixPerspectiveFovLH and uploads the transpose;
+HLSL then computes ``mul(float4(p,1), M)`` which — with the transpose and
+HLSL's column-major cbuffer packing — is exactly the row-vector product
+``[p,1] @ WVP``).
+
+Crucially the reference *never divides by w*: kernels take ``(float3)`` of
+the 4-vector product (reference: MortonCodes.hlsl:3-7,
+RayTraceTraversal.hlsl:25-35), so all tracing happens in pre-divide clip
+space with orthographic primary rays (SURVEY.md quirks Q1/Q3).  We replicate
+that in 'reference' camera mode and offer a conventional world-space pinhole
+in 'perspective' mode.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .core.types import Camera, Rays
+
+
+def look_at_lh(eye, at, up, dtype=jnp.float32):
+    """Row-vector left-handed look-at, as XMMatrixLookAtLH."""
+    eye = jnp.asarray(eye, dtype)
+    zaxis = at - eye
+    zaxis = zaxis / jnp.linalg.norm(zaxis)
+    xaxis = jnp.cross(up, zaxis)
+    xaxis = xaxis / jnp.linalg.norm(xaxis)
+    yaxis = jnp.cross(zaxis, xaxis)
+    m = jnp.stack(
+        [
+            jnp.array([xaxis[0], yaxis[0], zaxis[0], 0.0], dtype),
+            jnp.array([xaxis[1], yaxis[1], zaxis[1], 0.0], dtype),
+            jnp.array([xaxis[2], yaxis[2], zaxis[2], 0.0], dtype),
+            jnp.array(
+                [
+                    -jnp.dot(xaxis, eye),
+                    -jnp.dot(yaxis, eye),
+                    -jnp.dot(zaxis, eye),
+                    1.0,
+                ],
+                dtype,
+            ),
+        ]
+    )
+    return m
+
+
+def perspective_fov_lh(fov_y, aspect, z_near, z_far, dtype=jnp.float32):
+    """Row-vector left-handed perspective, as XMMatrixPerspectiveFovLH.
+
+    Note the reference passes aspect = height/width
+    (reference: Graphics.cpp:46-47); callers must do the same for parity.
+    """
+    h = 1.0 / jnp.tan(fov_y * 0.5)
+    w = h / aspect
+    rng = z_far / (z_far - z_near)
+    z = jnp.zeros((), dtype)
+    o = jnp.ones((), dtype)
+    return jnp.stack(
+        [
+            jnp.array([w, z, z, z]),
+            jnp.array([z, h, z, z]),
+            jnp.array([z, z, rng, o]),
+            jnp.array([z, z, -rng * z_near, z]),
+        ]
+    ).astype(dtype)
+
+
+def camera_matrices(cam: Camera, width: int, height: int):
+    """Returns (wvp, wv) row-vector matrices; world = identity
+    (reference: Graphics.cpp:44-48).  Computed in the camera's dtype."""
+    dtype = jnp.asarray(cam.eye).dtype
+    view = look_at_lh(cam.eye, cam.at, cam.up, dtype)
+    proj = perspective_fov_lh(
+        cam.fov, jnp.asarray(height, dtype) / width, cam.near, cam.far, dtype
+    )
+    wvp = view @ proj
+    return wvp, view
+
+
+def transform_points(points, m):
+    """[n,3] @ 4x4 row-vector transform, keeping xyz with NO w-divide
+    (reference parity: MortonCodes.hlsl:3-7 takes (float3)mul(...)).
+
+    This runs once per frame as a single MXU matmul, replacing the
+    reference's per-leaf-visit transform (quirk Q7)."""
+    r = points @ m[:3, :3] + m[3, :3]
+    return r
+
+
+def transform_normals(normals, wv):
+    """Normals by the 3x3 of worldView (reference:
+    RayTraceTraversal.hlsl:30-31)."""
+    return normals @ wv[:3, :3]
+
+
+def reference_rays(width: int, height: int, ortho_scale: float, dtype=jnp.float32) -> Rays:
+    """The reference's orthographic primary rays in clip space
+    (reference: RayTraceLaunch.hlsl:16-30): origin
+    ((x - w/2)/s, (y - h/2)/s, 0), direction (0,0,1)."""
+    xs = jnp.arange(width, dtype=dtype)
+    ys = jnp.arange(height, dtype=dtype)
+    # reference: halfWidth = screenWidth >> 1 (integer halves)
+    hx = jnp.asarray(width // 2, dtype)
+    hy = jnp.asarray(height // 2, dtype)
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")  # [h, w]
+    origin = jnp.stack(
+        [(gx - hx) / ortho_scale, (gy - hy) / ortho_scale, jnp.zeros_like(gx)],
+        axis=-1,
+    )
+    direction = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], dtype), origin.shape
+    )
+    return Rays(origin=origin.reshape(-1, 3), direction=direction.reshape(-1, 3))
+
+
+def perspective_rays(cam: Camera, width: int, height: int, dtype=jnp.float32) -> Rays:
+    """World-space pinhole rays (extension beyond the reference; its
+    perspective only ever comes from the WVP applied to vertices)."""
+    zaxis = cam.at - cam.eye
+    zaxis = zaxis / jnp.linalg.norm(zaxis)
+    xaxis = jnp.cross(cam.up, zaxis)
+    xaxis = xaxis / jnp.linalg.norm(xaxis)
+    yaxis = jnp.cross(zaxis, xaxis)
+    tan_half = jnp.tan(cam.fov * 0.5)
+    xs = (jnp.arange(width, dtype=dtype) + 0.5) / width * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(height, dtype=dtype) + 0.5) / height * 2.0
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    aspect = width / height
+    d = (
+        gx[..., None] * (xaxis * tan_half * aspect)
+        + gy[..., None] * (yaxis * tan_half)
+        + zaxis
+    )
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    origin = jnp.broadcast_to(cam.eye.astype(dtype), d.shape)
+    return Rays(origin=origin.reshape(-1, 3), direction=d.reshape(-1, 3))
+
+
+def orbit(cam: Camera, d_yaw: float, d_pitch: float) -> Camera:
+    """Rotate the eye around ``at`` (reference: Graphics.cpp:937-960 rotates
+    the eye with XMMatrixRotationX/Y by +-0.1 rad on arrow keys)."""
+    cy, sy = jnp.cos(d_yaw), jnp.sin(d_yaw)
+    cp, sp = jnp.cos(d_pitch), jnp.sin(d_pitch)
+    # row-vector rotation matrices, as XMMatrixRotationY / RotationX
+    rot_y = jnp.array([[cy, 0, -sy], [0, 1, 0], [sy, 0, cy]], cam.eye.dtype)
+    rot_x = jnp.array([[1, 0, 0], [0, cp, sp], [0, -sp, cp]], cam.eye.dtype)
+    eye = (cam.eye - cam.at) @ (rot_x @ rot_y) + cam.at
+    return cam.replace(eye=eye)

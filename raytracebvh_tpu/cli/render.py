@@ -1,0 +1,94 @@
+"""CLI: render a scene to a BMP/PNG (replaces the reference's Win32 window
++ present pass; reference: Window.cpp, RayTraceBVHVS/PS.hlsl, SaveBMP.cpp).
+
+Usage:
+    python -m raytracebvh_tpu.cli.render [--obj Obj/Test.obj] [--out out.bmp]
+        [--width 800] [--height 800] [--bounces 3] [--frames 1]
+        [--orbit-yaw 0.1] [--chunk 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--obj", default="Test.obj",
+                   help="OBJ file path or asset name (reference default "
+                        "Obj/Test.obj, Graphics.cpp:364)")
+    p.add_argument("--out", default="out.bmp")
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=800)
+    p.add_argument("--bounces", type=int, default=3)
+    p.add_argument("--frames", type=int, default=1,
+                   help="render N frames, orbiting the camera (FPS meter)")
+    p.add_argument("--orbit-yaw", type=float, default=0.1,
+                   help="per-frame yaw (reference arrow keys step .1 rad)")
+    p.add_argument("--chunk", type=int, default=0, help="traversal chunk size")
+    p.add_argument("--camera", choices=["reference", "perspective"],
+                   default="reference")
+    args = p.parse_args(argv)
+
+    import os
+
+    import jax
+    import numpy as np
+
+    from raytracebvh_tpu import Camera, RenderConfig, render_frame_jit
+    from raytracebvh_tpu.camera import orbit
+    from raytracebvh_tpu.core.types import scene_to_device
+    from raytracebvh_tpu.io.bmp import write_bmp
+    from raytracebvh_tpu.io.obj import load_obj
+    from raytracebvh_tpu.utils.assets import find_asset
+
+    path = args.obj if os.path.isfile(args.obj) else find_asset(args.obj)
+    if path is None:
+        print(f"error: cannot find {args.obj}", file=sys.stderr)
+        return 1
+    scene = scene_to_device(load_obj(path))
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        bounces=args.bounces,
+        traversal_chunk=args.chunk,
+        camera_mode=args.camera,
+    )
+    cam = Camera.default()
+
+    img = None
+    t0 = time.perf_counter()
+    frames = 0
+    last_print = t0
+    for i in range(args.frames):
+        img = render_frame_jit(scene, cam, cfg)
+        jax.block_until_ready(img)
+        frames += 1
+        now = time.perf_counter()
+        # once-a-second FPS print (reference: Graphics.cpp:65-92)
+        if now - last_print >= 1.0:
+            print(f"FPS: {frames / (now - t0):.2f}")
+            last_print = now
+        if args.frames > 1:
+            cam = orbit(cam, args.orbit_yaw, 0.0)
+    dt = time.perf_counter() - t0
+    print(f"rendered {args.frames} frame(s) in {dt:.3f}s "
+          f"({args.frames / dt:.2f} FPS)")
+
+    arr = np.asarray(img)[..., :3]
+    if args.out.lower().endswith((".png", ".jpg", ".jpeg")):
+        from PIL import Image
+
+        Image.fromarray(
+            (np.clip(arr, 0, 1) * 255 + 0.5).astype(np.uint8)
+        ).save(args.out)
+    else:
+        write_bmp(args.out, arr)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

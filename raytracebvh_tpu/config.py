@@ -1,0 +1,79 @@
+"""Render / build configuration.
+
+The reference hardcodes every knob as a compile-time ``#define`` or inline
+constant (reference: RayTraceGlobal.hlsl:4-11, RayTraceTraversal.hlsl:7-9,
+Graphics.cpp:364,528-529,795, main.cpp:7).  Here they live in one frozen
+dataclass that is hashable, so it can be passed as a static argument to
+``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All static knobs of the renderer.
+
+    Attributes:
+      width/height: output resolution (reference: main.cpp:7 uses 800x800).
+      bounces: number of reflection passes after the primary launch
+        (reference: Graphics.cpp:795 dispatches CS_RAY_TRACE_REFLECTION 3x).
+      enable_refraction: the reference allocates a refraction ray buffer but
+        never dispatches the pass (reference: Graphics.cpp:805-809); we can
+        actually run it.
+      epsilon: Moeller-Trumbore determinant / min-distance epsilon
+        (reference: RayTraceTraversal.hlsl:7, EPSILON .01).
+      ray_offset: surface offset for secondary rays spawned by the primary
+        launch (reference: RayTraceLaunch.hlsl:4, RAY_OFFSET .001).
+      bounce_ray_offset: offset used by the reflection pass
+        (reference: RayTraceReflection.hlsl:4, RAY_OFFSET .0001).
+      reflection_decay / refraction_decay: intensity decay factors
+        (reference: RayTraceGlobal.hlsl:10-11, both 1).
+      intensity_min: bounce rays below this intensity are dead
+        (reference: RayTraceGlobal.hlsl:9, INTENSITY_MIN 0).
+      background: miss color (reference: RayTraceRender.hlsl:11-14).
+      leaf_pad_multiple: leaves are padded to a multiple of this so shapes
+        stay static across frames; the reference pads to numGrps*256
+        (reference: Graphics.cpp:368,523 DATA_SIZE=256).
+      ortho_scale: screen-space divisor of the reference's orthographic
+        primary rays (reference: RayTraceLaunch.hlsl:23-24, the "/ 4.f").
+      camera_mode: 'reference' = orthographic rays against WVP-transformed
+        (clip-space, no w-divide) geometry, matching the reference exactly
+        (reference: RayTraceLaunch.hlsl:23-27 + Graphics.cpp:50-53, quirks
+        Q1/Q3 in SURVEY.md); 'perspective' = pinhole rays in world space.
+      traversal_backend: 'jnp' (XLA while_loop) or 'pallas' (fused TPU
+        kernel).
+      sort_backend: 'lax' (jax.lax.sort) or 'pallas' (1-bit LSD radix sort,
+        the reference's algorithm; reference: RadixSortP1/P2.hlsl).
+      dtype: compute dtype for geometry / shading.
+    """
+
+    width: int = 800
+    height: int = 800
+    bounces: int = 3
+    enable_refraction: bool = False
+    epsilon: float = 0.01
+    ray_offset: float = 0.001
+    bounce_ray_offset: float = 0.0001
+    reflection_decay: float = 1.0
+    refraction_decay: float = 1.0
+    intensity_min: float = 0.0
+    background: Tuple[float, float, float, float] = (0.5, 0.5, 0.5, 1.0)
+    leaf_pad_multiple: int = 256
+    ortho_scale: float = 4.0
+    camera_mode: str = "reference"
+    traversal_backend: str = "jnp"
+    sort_backend: str = "lax"
+    max_traversal_steps: int = 0  # 0 = auto (4 * n_leaves, safe upper bound)
+    # Traverse rays in sequential chunks of this size (0 = one batch).
+    # Bounds the lock-step penalty (one deep ray stalls only its chunk, not
+    # the whole frame) and the live-state footprint for multi-megapixel
+    # frames.  Must divide width*height when nonzero.
+    traversal_chunk: int = 0
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

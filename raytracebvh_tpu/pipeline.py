@@ -1,0 +1,255 @@
+"""The frame pipeline: transform -> morton -> sort -> build -> trace -> shade.
+
+This is the TPU replacement for the reference's command-list orchestration
+(reference: Graphics.cpp:667-831 ``computeBVH`` records 40+ dispatches with
+UAV barriers and a full CPU fence wait per frame).  Here the whole frame is
+one jitted function; XLA's dataflow replaces every barrier and the host
+never blocks mid-frame.
+
+Differentiability: traversal returns discrete hit ids through a
+``stop_gradient`` boundary; hit distances, positions, normals, uv and
+colors are *recomputed* differentiably from those ids, so gradients flow to
+vertices, normals, uv, materials, textures and the camera — a new
+capability on top of the reference (forward-only renderer).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .camera import (
+    camera_matrices,
+    perspective_rays,
+    reference_rays,
+    transform_normals,
+    transform_points,
+)
+from .config import RenderConfig
+from .core.types import BVH, Camera, HitRecord, Rays, Scene
+from .ops import bvh as bvh_ops
+from .ops import morton as morton_ops
+from .ops import shade as shade_ops
+from .ops import sort as sort_ops
+from .ops.traverse import moller_trumbore, traverse
+
+
+def _pad_count(nf: int, multiple: int) -> int:
+    """Padded leaf count.  Matches the reference's sizing:
+    numObjects = 256 * ceil(numIndices/256/3) (Graphics.cpp:368,523)."""
+    return max(multiple, ((nf + multiple - 1) // multiple) * multiple)
+
+
+def build_bvh(scene: Scene, wvp, wv, cfg: RenderConfig) -> BVH:
+    """Per-frame LBVH rebuild (reference pipeline stages CS_MORTON_CODES,
+    CS_RADIX_SORT_P1/P2, CS_BVH_CONSTRUCTION_P1/P2)."""
+    dtype = jnp.dtype(cfg.dtype)
+    verts_t = transform_points(scene.verts.astype(dtype), wvp.astype(dtype))
+    normals_t = transform_normals(scene.normals.astype(dtype), wv.astype(dtype))
+
+    nf = scene.num_faces
+    n = _pad_count(nf, cfg.leaf_pad_multiple)
+
+    smin, smax = morton_ops.scene_aabb(verts_t)
+    codes, lmin, lmax, _ = morton_ops.triangle_leaves(
+        verts_t, scene.indices, smin, smax
+    )
+
+    # pad to the static leaf count with sentinel codes + empty boxes
+    pad = n - nf
+    codes = jnp.concatenate(
+        [codes, jnp.full(pad, morton_ops.SENTINEL_CODE, jnp.uint32)]
+    )
+    lmin = jnp.concatenate([lmin, jnp.full((pad, 3), bvh_ops.BIG, dtype)])
+    lmax = jnp.concatenate([lmax, jnp.full((pad, 3), -bvh_ops.BIG, dtype)])
+    prim = jnp.concatenate(
+        [
+            jnp.arange(nf, dtype=jnp.int32),
+            jnp.full(pad, -1, jnp.int32),
+        ]
+    )
+
+    sorted_codes, order = sort_ops.sort_by_code(codes)
+    prim = prim[order]
+    lmin = lmin[order]
+    lmax = lmax[order]
+
+    child_l, child_r, parent = bvh_ops.build_topology(sorted_codes)
+    bbmin, bbmax = bvh_ops.fit_aabbs(child_l, child_r, lmin, lmax)
+    entry, skip = bvh_ops.compute_links(child_l, child_r, parent, n)
+
+    # gather leaf triangle data into morton order ONCE (fixes quirk Q7,
+    # the reference's per-leaf-visit WVP transform)
+    safe_prim = jnp.maximum(prim, 0)
+    face_idx = scene.indices.reshape(-1, 3)[safe_prim]  # [n, 3]
+    tri_verts = verts_t[face_idx]  # [n, 3, 3]
+    tri_normals = normals_t[face_idx]
+    tri_uv = scene.uv.astype(dtype)[face_idx]
+    tri_mat = scene.mat_index[safe_prim]
+
+    return BVH(
+        codes=sorted_codes,
+        prim=prim,
+        bbmin=bbmin,
+        bbmax=bbmax,
+        child_l=child_l,
+        child_r=child_r,
+        parent=parent,
+        entry_link=entry,
+        skip_link=skip,
+        tri_verts=tri_verts,
+        tri_normals=tri_normals,
+        tri_uv=tri_uv,
+        tri_mat=tri_mat,
+    )
+
+
+def _traverse_ids(bvh: BVH, rays: Rays, cfg: RenderConfig) -> HitRecord:
+    """Traversal with a stop_gradient boundary on the discrete outputs."""
+    bvh_ng = jax.lax.stop_gradient(bvh)
+    rays_ng = jax.lax.stop_gradient(rays)
+    nrays = rays_ng.origin.shape[0]
+    if cfg.traversal_chunk > 0 and nrays > cfg.traversal_chunk:
+        assert nrays % cfg.traversal_chunk == 0, (
+            f"traversal_chunk {cfg.traversal_chunk} must divide ray count {nrays}"
+        )
+        chunked = jax.tree_util.tree_map(
+            lambda x: x.reshape((nrays // cfg.traversal_chunk, cfg.traversal_chunk) + x.shape[1:]),
+            rays_ng,
+        )
+        rec = jax.lax.map(
+            lambda r: traverse(bvh_ng, r, cfg.epsilon, cfg.max_traversal_steps),
+            chunked,
+        )
+        rec = jax.tree_util.tree_map(
+            lambda x: x.reshape((nrays,) + x.shape[2:]), rec
+        )
+    else:
+        rec = traverse(bvh_ng, rays_ng, cfg.epsilon, cfg.max_traversal_steps)
+    return HitRecord(
+        hit=rec.hit,
+        distance=jax.lax.stop_gradient(rec.distance),
+        leaf=rec.leaf,
+    )
+
+
+def _shade_hit(scene: Scene, bvh: BVH, rays: Rays, rec: HitRecord):
+    """Differentiable re-evaluation of a hit: distance, position, uv,
+    normal, surface color (renderPixel * specular — reference:
+    RayTraceLaunch.hlsl:57-59), and per-hit material scalars."""
+    leaf = rec.leaf
+    tri = bvh.tri_verts[leaf]  # [R, 3, 3]
+    # recompute the hit distance differentiably (traversal's is stop-grad)
+    t = moller_trumbore(
+        rays.origin, rays.direction, tri[:, 0], tri[:, 1], tri[:, 2], 1e-12
+    )
+    t = jnp.where(rec.hit, t, 0.0)
+    hit_loc = rays.origin + rays.direction * t[:, None]
+
+    uv, normal = shade_ops.barycentric_normal_uv(
+        tri, bvh.tri_normals[leaf], bvh.tri_uv[leaf], hit_loc
+    )
+    mat_id = bvh.tri_mat[leaf]
+    base = shade_ops.render_pixel(
+        scene.materials, mat_id, scene.textures, scene.tex_hw, uv
+    )
+    color = base * scene.materials.specular[mat_id]
+    shininess = scene.materials.shininess[mat_id]
+    alpha = scene.materials.alpha[mat_id]
+    optical = scene.materials.optical_density[mat_id]
+    return hit_loc, normal, color, shininess, alpha, optical
+
+
+def launch(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
+    """Primary-ray pass (reference: RayTraceLaunch.hlsl).
+
+    Returns (color [R,4], refl_rays, refl_intensity [R]) — the RayPresent
+    buffer the reference stores to u4 (RayTraceGlobal.hlsl:117).
+    """
+    rec = _traverse_ids(bvh, rays, cfg)
+    hit_loc, normal, hit_color, shininess, _, _ = _shade_hit(scene, bvh, rays, rec)
+
+    background = jnp.asarray(cfg.background, hit_color.dtype)
+    color = jnp.where(rec.hit[:, None], hit_color, background)
+
+    # reflection spawn (reference: RayTraceLaunch.hlsl:48-67)
+    intensity = jnp.where(
+        rec.hit, shininess / 1000.0 * cfg.reflection_decay, 0.0
+    )
+    refl_origin = hit_loc + normal * cfg.ray_offset
+    refl_dir = shade_ops.normalize(shade_ops.reflect(rays.direction, normal))
+    refl = Rays(
+        origin=jnp.where(rec.hit[:, None], refl_origin, rays.origin),
+        direction=jnp.where(rec.hit[:, None], refl_dir, rays.direction),
+    )
+    return color, refl, intensity
+
+
+def bounce(scene: Scene, bvh: BVH, color, rays: Rays, intensity, cfg: RenderConfig):
+    """One reflection pass (reference: RayTraceReflection.hlsl).
+
+    Live rays (intensity > INTENSITY_MIN) re-trace; hits lerp the carried
+    color toward the new surface color and respawn; misses lerp toward the
+    background and die.
+    """
+    live = intensity > cfg.intensity_min
+    rec = _traverse_ids(bvh, rays, cfg)
+    hit_loc, normal, hit_color, shininess, _, _ = _shade_hit(scene, bvh, rays, rec)
+
+    background = jnp.asarray(cfg.background, color.dtype)
+    target = jnp.where(rec.hit[:, None], hit_color, background)
+    lerped = color + intensity[:, None] * (target - color)
+    new_color = jnp.where(live[:, None], lerped, color)
+
+    new_intensity = jnp.where(
+        live & rec.hit,
+        intensity * shininess / 1000.0 * cfg.reflection_decay,
+        0.0,
+    )
+    new_origin = hit_loc + normal * cfg.bounce_ray_offset
+    new_dir = shade_ops.normalize(shade_ops.reflect(rays.direction, normal))
+    upd = (live & rec.hit)[:, None]
+    new_rays = Rays(
+        origin=jnp.where(upd, new_origin, rays.origin),
+        direction=jnp.where(upd, new_dir, rays.direction),
+    )
+    return new_color, new_rays, new_intensity
+
+
+def make_rays(camera: Camera, cfg: RenderConfig) -> Rays:
+    if cfg.camera_mode == "reference":
+        return reference_rays(
+            cfg.width, cfg.height, cfg.ortho_scale, jnp.dtype(cfg.dtype)
+        )
+    return perspective_rays(camera, cfg.width, cfg.height, jnp.dtype(cfg.dtype))
+
+
+def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
+    """Full frame: returns [height, width, 4] float image.
+
+    Equivalent to one iteration of the reference's onUpdate/onRender
+    (Graphics.cpp:40-61,663-831): rebuild the LBVH from scratch, launch
+    primary rays, run ``cfg.bounces`` reflection passes, present.
+    """
+    wvp, wv = camera_matrices(camera, cfg.width, cfg.height)
+    if cfg.camera_mode == "reference":
+        bvh = build_bvh(scene, wvp, wv, cfg)
+        rays = make_rays(camera, cfg)
+    else:
+        # world-space tracing: identity transform
+        eye4 = jnp.eye(4, dtype=jnp.dtype(cfg.dtype))
+        bvh = build_bvh(scene, eye4, eye4, cfg)
+        rays = make_rays(camera, cfg)
+
+    color, refl, intensity = launch(scene, bvh, rays, cfg)
+    for _ in range(cfg.bounces):
+        color, refl, intensity = bounce(scene, bvh, color, refl, intensity, cfg)
+    return color.reshape(cfg.height, cfg.width, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_frame_jit(scene: Scene, camera: Camera, cfg: RenderConfig):
+    return render_frame(scene, camera, cfg)

@@ -1,0 +1,138 @@
+"""BVH construction invariants + golden checks.
+
+The reference validates its builder with printouts on random leaves and the
+Karras-paper example tree (reference: CPUTests/BVHConstructTest,
+CPUTests/RadixBVHCombo); these tests assert the same properties
+mechanically: sortedness, binary-radix-tree structure, contiguous leaf
+ranges, box containment, and DFS skip-link coverage.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracebvh_tpu.ops import bvh as bvh_ops
+from raytracebvh_tpu.ops import sort as sort_ops
+
+
+def build_all(codes_np):
+    codes = jnp.asarray(codes_np, jnp.uint32)
+    sorted_codes, order = sort_ops.sort_by_code(codes)
+    cl, cr, parent = bvh_ops.build_topology(sorted_codes)
+    return (
+        np.asarray(sorted_codes),
+        np.asarray(order),
+        np.asarray(cl),
+        np.asarray(cr),
+        np.asarray(parent),
+    )
+
+
+def leaves_of(cl, cr, n, node):
+    """Collect leaf ids of a subtree (host-side recursion for checking)."""
+    stack, out = [node], []
+    while stack:
+        x = stack.pop()
+        if x < n:
+            out.append(x)
+        else:
+            stack.extend([cl[x], cr[x]])
+    return sorted(out)
+
+
+@pytest.mark.parametrize("n,seed", [(8, 0), (256, 1), (1000, 2), (4096, 3)])
+def test_tree_structure(n, seed):
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 1 << 30, n).astype(np.uint32)
+    sorted_codes, order, cl, cr, parent = build_all(codes)
+
+    assert np.all(np.diff(sorted_codes.astype(np.int64)) >= 0)
+
+    # every node except the root has exactly one parent; children ranges
+    # are contiguous (Karras binary radix tree property)
+    seen = np.zeros(2 * n, bool)
+    for i in range(n, 2 * n - 1):
+        for c in (cl[i], cr[i]):
+            assert not seen[c], f"node {c} has two parents"
+            seen[c] = True
+            assert parent[c] == i
+    assert parent[n] == -1  # root
+    assert seen[:n].all(), "every leaf must be in the tree"
+    rng_leaves = leaves_of(cl, cr, n, n)
+    assert rng_leaves == list(range(n))
+
+    # each internal node covers a contiguous leaf range split at gamma
+    for i in range(n, min(2 * n - 1, n + 200)):
+        ls = leaves_of(cl, cr, n, i)
+        assert ls == list(range(ls[0], ls[-1] + 1))
+
+
+def test_duplicate_codes():
+    # all-equal codes: the index tie-break must still build a valid tree
+    # (reference: BVHConstructP1.hlsl:61-72)
+    n = 64
+    codes = np.full(n, 12345, np.uint32)
+    _, _, cl, cr, parent = build_all(codes)
+    assert leaves_of(cl, cr, n, n) == list(range(n))
+
+
+def test_aabb_fit_and_links():
+    rng = np.random.default_rng(4)
+    n = 512
+    codes = rng.integers(0, 1 << 30, n).astype(np.uint32)
+    lmin = rng.uniform(-10, 0, (n, 3)).astype(np.float32)
+    lmax = lmin + rng.uniform(0, 5, (n, 3)).astype(np.float32)
+
+    codes_j = jnp.asarray(codes)
+    sorted_codes, order = sort_ops.sort_by_code(codes_j)
+    cl, cr, parent = bvh_ops.build_topology(sorted_codes)
+    bbmin, bbmax = bvh_ops.fit_aabbs(
+        cl, cr, jnp.asarray(lmin)[order], jnp.asarray(lmax)[order]
+    )
+    entry, skip = bvh_ops.compute_links(cl, cr, parent, n)
+    bbmin, bbmax = np.asarray(bbmin), np.asarray(bbmax)
+    cl_np, cr_np = np.asarray(cl), np.asarray(cr)
+
+    # every internal box is exactly the union of its children
+    for i in range(n, 2 * n - 1):
+        np.testing.assert_allclose(
+            bbmin[i], np.minimum(bbmin[cl_np[i]], bbmin[cr_np[i]])
+        )
+        np.testing.assert_allclose(
+            bbmax[i], np.maximum(bbmax[cl_np[i]], bbmax[cr_np[i]])
+        )
+    # root box is the scene box
+    np.testing.assert_allclose(bbmin[n], lmin.min(0))
+    np.testing.assert_allclose(bbmax[n], lmax.max(0))
+
+    # walking entry links (always-descend) visits every node exactly once
+    # in DFS order and terminates — the stackless contract
+    entry_np, skip_np = np.asarray(entry), np.asarray(skip)
+    node, visited = n, []
+    while node != -1:
+        visited.append(node)
+        node = entry_np[node] if node >= n else skip_np[node]
+        assert len(visited) <= 2 * n
+    assert len(visited) == 2 * n - 1
+    assert sorted(visited) == list(range(2 * n - 1))
+    # skip from any node never re-enters its own subtree
+    for i in range(n, n + 100):
+        if skip_np[i] != -1:
+            assert skip_np[i] not in leaves_of(cl_np, cr_np, n, i)
+
+
+def test_karras_paper_example():
+    """The 8-key example from the Karras 2012 paper (the reference's
+    BVHConstructTest uses the same one, CPUTests/BVHConstructTest
+    main.cpp:259-265): sorted keys 00001,00010,00100,00101,10011,11000,
+    11001,11110 -> root splits between leaf 3 and 4."""
+    codes = np.array([1, 2, 4, 5, 19, 24, 25, 30], np.uint32)
+    _, _, cl, cr, parent = build_all(codes)
+    n = 8
+    root_l = leaves_of(cl, cr, n, cl[n])
+    root_r = leaves_of(cl, cr, n, cr[n])
+    assert root_l == [0, 1, 2, 3]
+    assert root_r == [4, 5, 6, 7]
+    # leaf 4 (10011) is alone against (11000,11001,11110)
+    right = cr[n]
+    assert cl[right] == 4
