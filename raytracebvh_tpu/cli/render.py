@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=0, help="traversal chunk size")
     p.add_argument("--camera", choices=["reference", "perspective"],
                    default="reference")
+    p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp",
+                   help="traversal backend (pallas = fused TPU megakernel)")
     args = p.parse_args(argv)
 
     import os
@@ -55,6 +57,7 @@ def main(argv=None):
         bounces=args.bounces,
         traversal_chunk=args.chunk,
         camera_mode=args.camera,
+        traversal_backend=args.backend,
     )
     cam = Camera.default()
 

@@ -112,6 +112,17 @@ def _traverse_ids(bvh: BVH, rays: Rays, cfg: RenderConfig) -> HitRecord:
     bvh_ng = jax.lax.stop_gradient(bvh)
     rays_ng = jax.lax.stop_gradient(rays)
     nrays = rays_ng.origin.shape[0]
+    if cfg.traversal_backend == "pallas":
+        from .ops.traverse_pallas import traverse_pallas
+
+        rec = traverse_pallas(
+            bvh_ng, rays_ng, cfg.epsilon, cfg.max_traversal_steps
+        )
+        return HitRecord(
+            hit=rec.hit,
+            distance=jax.lax.stop_gradient(rec.distance),
+            leaf=rec.leaf,
+        )
     if cfg.traversal_chunk > 0 and nrays > cfg.traversal_chunk:
         assert nrays % cfg.traversal_chunk == 0, (
             f"traversal_chunk {cfg.traversal_chunk} must divide ray count {nrays}"
