@@ -14,12 +14,25 @@ import numpy as np
 
 
 def write_bmp(path: str, image: np.ndarray) -> None:
-    """Write [h, w, 3|4] uint8 or float (0..1) image as a 24-bit BMP."""
+    """Write [h, w, 3|4] uint8 or float (0..1) image as a 24-bit BMP.
+
+    Uses the native writer (native/rtbvh_native.cpp, counterpart of the
+    reference's SaveBMP.cpp:3-62) when built; both emit identical bytes.
+    """
     img = np.asarray(image)
     if img.dtype != np.uint8:
         img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     h, w = img.shape[:2]
     rgb = img[..., :3]
+    try:
+        from .. import native
+
+        if native.write_bmp_native(path, rgb):
+            return
+    except IOError:
+        raise
+    except Exception:
+        pass  # fall through to the pure-Python writer
     row_size = (w * 3 + 3) & ~3
     data_size = row_size * h
     header = struct.pack(

@@ -84,8 +84,28 @@ def _parse_face_vertex(s: str):
     return v, t, n
 
 
-def load_obj(path: str, load_textures: bool = True) -> Scene:
-    """Parse an OBJ file into a host-side Scene (numpy arrays)."""
+def load_obj(path: str, load_textures: bool = True,
+             backend: str = "auto") -> Scene:
+    """Parse an OBJ file into a host-side Scene (numpy arrays).
+
+    backend: 'auto' uses the native C++ loader (native/rtbvh_native.cpp,
+    the counterpart of the reference's C++ ObjectFileLoader) when the
+    shared library is available, else this pure-Python parser; 'native'
+    requires it; 'python' forces the fallback.  Both produce bit-identical
+    scenes (tests/test_native.py).
+    """
+    if backend in ("auto", "native"):
+        from .. import native
+
+        scene = native.load_obj_native(path, load_textures)
+        if scene is not None:
+            return scene
+        if backend == "native":
+            raise RuntimeError("native loader unavailable (g++ missing?)")
+    return _load_obj_python(path, load_textures)
+
+
+def _load_obj_python(path: str, load_textures: bool = True) -> Scene:
     positions: List[List[float]] = []
     normals: List[List[float]] = []
     uvs: List[List[float]] = []
