@@ -14,7 +14,8 @@ from ..core.types import Materials, Scene, stack_textures
 
 
 def _default_materials(num: int = 1, shininess: float = 500.0,
-                       with_texture: bool = False) -> tuple:
+                       with_texture: bool = False, alpha: float = 1.0,
+                       optical_density: float = 0.0) -> tuple:
     rng = np.random.default_rng(0)
     amb = np.tile(np.array([0.1, 0.1, 0.1, 1.0], np.float32), (num, 1))
     diff = rng.uniform(0.3, 0.9, (num, 4)).astype(np.float32)
@@ -36,8 +37,8 @@ def _default_materials(num: int = 1, shininess: float = 500.0,
         diffuse=diff,
         specular=spec,
         shininess=np.full(num, shininess, np.float32),
-        optical_density=np.zeros(num, np.float32),
-        alpha=np.ones(num, np.float32),
+        optical_density=np.full(num, optical_density, np.float32),
+        alpha=np.full(num, alpha, np.float32),
         tex_id=tex_ids,
     )
     return mats, stack, hw
@@ -45,7 +46,8 @@ def _default_materials(num: int = 1, shininess: float = 500.0,
 
 def random_triangles(num_tris: int, seed: int = 0, extent: float = 50.0,
                      tri_size: float = 4.0, num_materials: int = 3,
-                     with_texture: bool = False) -> Scene:
+                     with_texture: bool = False, alpha: float = 1.0,
+                     optical_density: float = 0.0) -> Scene:
     """A cloud of random triangles in [-extent, extent]^3."""
     rng = np.random.default_rng(seed)
     centers = rng.uniform(-extent, extent, (num_tris, 1, 3))
@@ -57,7 +59,9 @@ def random_triangles(num_tris: int, seed: int = 0, extent: float = 50.0,
     n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     normals = np.repeat(n, 3, axis=0).astype(np.float32)
     uv = rng.uniform(0, 1, (verts.shape[0], 2)).astype(np.float32)
-    mats, tex, hw = _default_materials(num_materials, with_texture=with_texture)
+    mats, tex, hw = _default_materials(num_materials, with_texture=with_texture,
+                                       alpha=alpha,
+                                       optical_density=optical_density)
     return Scene(
         verts=verts,
         normals=normals,

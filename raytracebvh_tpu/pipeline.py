@@ -174,14 +174,22 @@ def _shade_hit(scene: Scene, bvh: BVH, rays: Rays, rec: HitRecord):
     return hit_loc, normal, color, shininess, alpha, optical
 
 
-def launch(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
+def launch_full(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
     """Primary-ray pass (reference: RayTraceLaunch.hlsl).
 
-    Returns (color [R,4], refl_rays, refl_intensity [R]) — the RayPresent
-    buffer the reference stores to u4 (RayTraceGlobal.hlsl:117).
+    Returns (color [R,4], refl_rays, refl_intensity [R], refr_rays,
+    refr_intensity [R]) — the two RayPresent buffers the reference stores
+    to u4/u5 (RayTraceGlobal.hlsl:117-118).  The refraction spawn follows
+    RayTraceLaunch.hlsl:69-80 (intensity = (1-alpha)*REFRACTION_DECAY,
+    origin offset *into* the surface, HLSL refract with eta =
+    opticalDensity) — a pass the reference allocates but never dispatches
+    (Graphics.cpp:805-809, quirk Q4); here it actually runs when
+    cfg.enable_refraction.
     """
     rec = _traverse_ids(bvh, rays, cfg)
-    hit_loc, normal, hit_color, shininess, _, _ = _shade_hit(scene, bvh, rays, rec)
+    hit_loc, normal, hit_color, shininess, alpha, optical = _shade_hit(
+        scene, bvh, rays, rec
+    )
 
     background = jnp.asarray(cfg.background, hit_color.dtype)
     color = jnp.where(rec.hit[:, None], hit_color, background)
@@ -196,6 +204,27 @@ def launch(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
         origin=jnp.where(rec.hit[:, None], refl_origin, rays.origin),
         direction=jnp.where(rec.hit[:, None], refl_dir, rays.direction),
     )
+
+    # refraction spawn (reference: RayTraceLaunch.hlsl:69-80)
+    refr_dir_raw = shade_ops.refract(rays.direction, normal, optical)
+    tir = jnp.sum(refr_dir_raw * refr_dir_raw, axis=-1) == 0.0  # total internal refl
+    refr_intensity = jnp.where(
+        rec.hit & ~tir, (1.0 - alpha) * cfg.refraction_decay, 0.0
+    )
+    refr_origin = hit_loc - normal * cfg.ray_offset
+    refr_dir = shade_ops.normalize(refr_dir_raw)
+    refr = Rays(
+        origin=jnp.where(rec.hit[:, None], refr_origin, rays.origin),
+        direction=jnp.where(
+            (rec.hit & ~tir)[:, None], refr_dir, rays.direction
+        ),
+    )
+    return color, refl, intensity, refr, refr_intensity
+
+
+def launch(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
+    """Primary-ray pass, reflection outputs only (see launch_full)."""
+    color, refl, intensity, _, _ = launch_full(scene, bvh, rays, cfg)
     return color, refl, intensity
 
 
@@ -230,6 +259,42 @@ def bounce(scene: Scene, bvh: BVH, color, rays: Rays, intensity, cfg: RenderConf
     return new_color, new_rays, new_intensity
 
 
+def bounce_refract(scene: Scene, bvh: BVH, color, rays: Rays, intensity,
+                   cfg: RenderConfig):
+    """One refraction (transmission) pass — the dispatch the reference
+    stubbed out (Graphics.cpp:805-809).  Mirrors ``bounce`` but continues
+    *through* surfaces: same color lerp, intensity decays by the hit
+    material's transparency (1-alpha), respawn offset into the surface
+    with an HLSL-refract direction; total internal reflection kills the
+    ray."""
+    live = intensity > cfg.intensity_min
+    rec = _traverse_ids(bvh, rays, cfg)
+    hit_loc, normal, hit_color, _, alpha, optical = _shade_hit(
+        scene, bvh, rays, rec
+    )
+
+    background = jnp.asarray(cfg.background, color.dtype)
+    target = jnp.where(rec.hit[:, None], hit_color, background)
+    lerped = color + intensity[:, None] * (target - color)
+    new_color = jnp.where(live[:, None], lerped, color)
+
+    refr_dir_raw = shade_ops.refract(rays.direction, normal, optical)
+    tir = jnp.sum(refr_dir_raw * refr_dir_raw, axis=-1) == 0.0
+    new_intensity = jnp.where(
+        live & rec.hit & ~tir,
+        intensity * (1.0 - alpha) * cfg.refraction_decay,
+        0.0,
+    )
+    new_origin = hit_loc - normal * cfg.bounce_ray_offset
+    new_dir = shade_ops.normalize(refr_dir_raw)
+    upd = (live & rec.hit & ~tir)[:, None]
+    new_rays = Rays(
+        origin=jnp.where(upd, new_origin, rays.origin),
+        direction=jnp.where(upd, new_dir, rays.direction),
+    )
+    return new_color, new_rays, new_intensity
+
+
 def make_rays(camera: Camera, cfg: RenderConfig) -> Rays:
     if cfg.camera_mode == "reference":
         return reference_rays(
@@ -255,9 +320,27 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
         bvh = build_bvh(scene, eye4, eye4, cfg)
         rays = make_rays(camera, cfg)
 
-    color, refl, intensity = launch(scene, bvh, rays, cfg)
+    color, refl, intensity, refr, refr_int = launch_full(scene, bvh, rays, cfg)
     for _ in range(cfg.bounces):
         color, refl, intensity = bounce(scene, bvh, color, refl, intensity, cfg)
+    if cfg.enable_refraction:
+        # the refraction chain starts from a white carrier color
+        # (reference: RayTraceLaunch.hlsl:70 refrRay.color = 1,1,1,1) and
+        # the final present blends it over the reflection result by the
+        # primary transparency — the combine the reference's PS never got
+        # (it reads only reflectRay, RayTraceBVHPS.hlsl:16, quirk Q4).
+        w0 = refr_int
+        # chain intensity starts at 1 (the spawn transparency is applied
+        # once, in the final blend), so rcolor = "the color seen through
+        # the surface"; deeper transparent hits recurse with their own
+        # (1-alpha) via bounce_refract.
+        chain_int = jnp.where(refr_int > 0.0, jnp.ones_like(refr_int), 0.0)
+        rcolor = jnp.ones_like(color)
+        for _ in range(cfg.bounces):
+            rcolor, refr, chain_int = bounce_refract(
+                scene, bvh, rcolor, refr, chain_int, cfg
+            )
+        color = color + w0[:, None] * (rcolor - color)
     return color.reshape(cfg.height, cfg.width, 4)
 
 

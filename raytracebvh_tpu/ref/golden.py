@@ -160,11 +160,20 @@ def reflect_np(d, n):
     return d - 2.0 * np.sum(d * n, axis=-1, keepdims=True) * n
 
 
+def refract_np(d, n, eta):
+    """HLSL refract; zero vector on total internal reflection."""
+    cosi = np.sum(d * n, axis=-1, keepdims=True)
+    k = 1.0 - eta[..., None] ** 2 * (1.0 - cosi**2)
+    out = eta[..., None] * d - (eta[..., None] * cosi + np.sqrt(np.maximum(k, 0.0))) * n
+    return np.where(k >= 0.0, out, 0.0)
+
+
 # --------------------------------------------------------------- renderer
 def render_golden(scene, eye, at, up, width, height, bounces=3, ortho_scale=4.0,
                   fov=np.pi / 4, near=0.1, far=1000.0, epsilon=0.01,
                   ray_offset=0.001, bounce_ray_offset=0.0001,
-                  background=(0.5, 0.5, 0.5, 1.0)):
+                  background=(0.5, 0.5, 0.5, 1.0), refraction=False,
+                  refraction_decay=1.0):
     """Brute-force render in the reference's clip-space ortho setup.
 
     ``scene`` is a host Scene (numpy arrays).  Returns [h, w, 4] float64.
@@ -219,11 +228,13 @@ def render_golden(scene, eye, at, up, width, height, bounces=3, ortho_scale=4.0,
         )
         color = base * np.asarray(mats.specular, np.float64)[mid]
         shin = np.asarray(mats.shininess, np.float64)[mid]
-        return pt, n_i, color, shin
+        alpha = np.asarray(mats.alpha, np.float64)[mid]
+        od = np.asarray(mats.optical_density, np.float64)[mid]
+        return pt, n_i, color, shin, alpha, od
 
     # primary launch
     hit, t, face = nearest_hit(origin, direction, tris, epsilon)
-    pt, n_i, c_i, shin = shade(origin, direction, hit, t, face)
+    pt, n_i, c_i, shin, alpha, od = shade(origin, direction, hit, t, face)
     color = np.where(hit[:, None], c_i, background)
     intensity = np.where(hit, shin / 1000.0, 0.0)
     ro = np.where(hit[:, None], pt + n_i * ray_offset, origin)
@@ -231,10 +242,21 @@ def render_golden(scene, eye, at, up, width, height, bounces=3, ortho_scale=4.0,
     rd = rd / np.maximum(np.linalg.norm(rd, axis=-1, keepdims=True), 1e-30)
     rd = np.where(hit[:, None], rd, direction)
 
+    if refraction:
+        # refraction spawn (reference: RayTraceLaunch.hlsl:69-80, the
+        # never-dispatched pass; pipeline.py launch_full mirrors this)
+        qd_raw = refract_np(direction, n_i, od)
+        tir = np.sum(qd_raw * qd_raw, axis=-1) == 0.0
+        w0 = np.where(hit & ~tir, (1.0 - alpha) * refraction_decay, 0.0)
+        qo = np.where(hit[:, None], pt - n_i * ray_offset, origin)
+        qn = np.maximum(np.linalg.norm(qd_raw, axis=-1, keepdims=True), 1e-30)
+        qd = np.where((hit & ~tir)[:, None], qd_raw / qn, direction)
+        q_int = np.where(w0 > 0.0, 1.0, 0.0)
+
     for _ in range(bounces):
         live = intensity > 0.0
         hit, t, face = nearest_hit(ro, rd, tris, epsilon)
-        pt, n_i, c_i, shin = shade(ro, rd, hit, t, face)
+        pt, n_i, c_i, shin, _, _ = shade(ro, rd, hit, t, face)
         target = np.where(hit[:, None], c_i, background)
         lerped = color + intensity[:, None] * (target - color)
         color = np.where(live[:, None], lerped, color)
@@ -245,5 +267,25 @@ def render_golden(scene, eye, at, up, width, height, bounces=3, ortho_scale=4.0,
         nd = nd / np.maximum(np.linalg.norm(nd, axis=-1, keepdims=True), 1e-30)
         rd = np.where(upd, nd, rd)
         intensity = new_int
+
+    if refraction:
+        rcolor = np.ones_like(color)
+        for _ in range(bounces):
+            live = q_int > 0.0
+            hit, t, face = nearest_hit(qo, qd, tris, epsilon)
+            pt, n_i, c_i, _, alpha, od = shade(qo, qd, hit, t, face)
+            target = np.where(hit[:, None], c_i, background)
+            lerped = rcolor + q_int[:, None] * (target - rcolor)
+            rcolor = np.where(live[:, None], lerped, rcolor)
+            qd_raw = refract_np(qd, n_i, od)
+            tir = np.sum(qd_raw * qd_raw, axis=-1) == 0.0
+            new_q = np.where(live & hit & ~tir,
+                             q_int * (1.0 - alpha) * refraction_decay, 0.0)
+            upd = (live & hit & ~tir)[:, None]
+            qo = np.where(upd, pt - n_i * bounce_ray_offset, qo)
+            qn = np.maximum(np.linalg.norm(qd_raw, axis=-1, keepdims=True), 1e-30)
+            qd = np.where(upd, qd_raw / qn, qd)
+            q_int = new_q
+        color = color + w0[:, None] * (rcolor - color)
 
     return color.reshape(height, width, 4)
