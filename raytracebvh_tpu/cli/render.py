@@ -32,6 +32,9 @@ def main(argv=None):
                    default="reference")
     p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp",
                    help="traversal backend (pallas = fused TPU megakernel)")
+    p.add_argument("--refract", action="store_true",
+                   help="enable the refraction pass (the dispatch the "
+                        "reference stubbed out, Graphics.cpp:805-809)")
     args = p.parse_args(argv)
 
     import os
@@ -58,6 +61,7 @@ def main(argv=None):
         traversal_chunk=args.chunk,
         camera_mode=args.camera,
         traversal_backend=args.backend,
+        enable_refraction=args.refract,
     )
     cam = Camera.default()
 

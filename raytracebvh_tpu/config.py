@@ -46,8 +46,9 @@ class RenderConfig:
         Q1/Q3 in SURVEY.md); 'perspective' = pinhole rays in world space.
       traversal_backend: 'jnp' (XLA while_loop) or 'pallas' (fused TPU
         kernel).
-      sort_backend: 'lax' (jax.lax.sort) or 'pallas' (1-bit LSD radix sort,
-        the reference's algorithm; reference: RadixSortP1/P2.hlsl).
+      sort_backend: 'lax' (one fused jax.lax.sort — the TPU-idiomatic
+        path) or 'radix' (the reference's 32-dispatch 1-bit LSD radix
+        sort, algorithm-for-algorithm; reference: RadixSortP1/P2.hlsl).
       dtype: compute dtype for geometry / shading.
     """
 
@@ -73,6 +74,11 @@ class RenderConfig:
     # the whole frame) and the live-state footprint for multi-megapixel
     # frames.  Must divide width*height when nonzero.
     traversal_chunk: int = 0
+    # Run the ENTIRE per-ray pipeline (launch + bounces + shading) in
+    # sequential tiles of this size (0 = whole frame at once).  Unlike
+    # traversal_chunk this also bounds the autodiff residuals of the
+    # differentiable shading path — required for megapixel fwd+bwd.
+    ray_chunk: int = 0
     dtype: str = "float32"
 
     def replace(self, **kw) -> "RenderConfig":

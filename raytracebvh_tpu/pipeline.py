@@ -72,7 +72,10 @@ def build_bvh(scene: Scene, wvp, wv, cfg: RenderConfig) -> BVH:
         ]
     )
 
-    sorted_codes, order = sort_ops.sort_by_code(codes)
+    if cfg.sort_backend == "radix":
+        sorted_codes, order = sort_ops.radix_sort_by_code(codes)
+    else:
+        sorted_codes, order = sort_ops.sort_by_code(codes)
     prim = prim[order]
     lmin = lmin[order]
     lmax = lmax[order]
@@ -320,6 +323,12 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
         bvh = build_bvh(scene, eye4, eye4, cfg)
         rays = make_rays(camera, cfg)
 
+    color = shade_rays(scene, bvh, rays, cfg)
+    return color.reshape(cfg.height, cfg.width, 4)
+
+
+def _shade_rays_one(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
+    """launch + bounce chain (+ refraction) for one batch of rays."""
     color, refl, intensity, refr, refr_int = launch_full(scene, bvh, rays, cfg)
     for _ in range(cfg.bounces):
         color, refl, intensity = bounce(scene, bvh, color, refl, intensity, cfg)
@@ -341,7 +350,34 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
                 scene, bvh, rcolor, refr, chain_int, cfg
             )
         color = color + w0[:, None] * (rcolor - color)
-    return color.reshape(cfg.height, cfg.width, 4)
+    return color
+
+
+def shade_rays(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
+    """The whole per-ray pipeline, optionally in sequential ray tiles.
+
+    cfg.ray_chunk > 0 runs launch+bounces tile-by-tile under ``lax.map``
+    so the live per-ray state (and, under autodiff, the saved residuals)
+    never exceeds one tile — the reason the reference tiles its ray
+    dispatch 15x15 (Graphics.cpp:788-792) is occupancy; ours is HBM:
+    full-frame [R,...] temps at 1080p OOM the backward pass otherwise.
+    """
+    nrays = rays.origin.shape[0]
+    if cfg.ray_chunk > 0 and nrays > cfg.ray_chunk:
+        assert nrays % cfg.ray_chunk == 0, (
+            f"ray_chunk {cfg.ray_chunk} must divide ray count {nrays}"
+        )
+        tiles = jax.tree_util.tree_map(
+            lambda x: x.reshape(
+                (nrays // cfg.ray_chunk, cfg.ray_chunk) + x.shape[1:]
+            ),
+            rays,
+        )
+        color = jax.lax.map(
+            lambda r: _shade_rays_one(scene, bvh, r, cfg), tiles
+        )
+        return color.reshape(nrays, 4)
+    return _shade_rays_one(scene, bvh, rays, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
