@@ -1,0 +1,36 @@
+"""ray_chunk tiling must not change the image or the gradients."""
+
+import jax
+import numpy as np
+
+from raytracebvh_tpu import Camera, RenderConfig, render_frame_jit
+from raytracebvh_tpu.core.types import scene_to_device
+from raytracebvh_tpu.models.inverse import init_params, loss_fn
+from raytracebvh_tpu.models.procedural import random_triangles
+
+
+def test_ray_chunk_image_identical():
+    scene = scene_to_device(random_triangles(150, seed=9, with_texture=True))
+    cam = Camera.default()
+    base = RenderConfig(width=32, height=32, bounces=2, ortho_scale=0.2)
+    a = np.asarray(render_frame_jit(scene, cam, base))
+    b = np.asarray(render_frame_jit(scene, cam, base.replace(ray_chunk=256)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_ray_chunk_grads_match():
+    scene = scene_to_device(random_triangles(100, seed=10))
+    cam = Camera.default()
+    target = np.zeros((16, 16, 4), np.float32)
+    base = RenderConfig(width=16, height=16, bounces=1, ortho_scale=0.2)
+
+    params = init_params(scene)
+
+    def grads(cfg):
+        g = jax.grad(lambda p: loss_fn(p, scene, cam, target, cfg))(params)
+        return jax.tree_util.tree_map(np.asarray, g)
+
+    g0 = grads(base)
+    g1 = grads(base.replace(ray_chunk=64))
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
