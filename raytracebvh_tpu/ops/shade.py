@@ -105,3 +105,124 @@ def refract(direction, normal, eta):
 
 def normalize(v, eps=1e-30):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+# ---------------------------------------------------------------------------
+# Structure-of-arrays variants.
+#
+# TPU tiles the minor-most axis of every buffer to 128 lanes, so per-ray
+# [R, 3] / [R, 4] arrays are padded 42x / 32x in HBM — fatal for a
+# bandwidth-bound path over megapixel ray batches.  These variants take
+# and return tuples of 1-D [R] component arrays instead; the math is
+# op-for-op identical to the AoS versions above (same order, same
+# primitives), so results match bit-for-bit.
+
+def cross3(a, b):
+    ax, ay, az = a
+    bx, by, bz = b
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def norm3(a):
+    return jnp.sqrt(dot3(a, a))
+
+
+def normalize3(v, eps=1e-30):
+    inv = 1.0 / jnp.maximum(norm3(v), eps)
+    return (v[0] * inv, v[1] * inv, v[2] * inv)
+
+
+def reflect3(d, n):
+    """HLSL reflect on components."""
+    s = 2.0 * dot3(d, n)
+    return (d[0] - s * n[0], d[1] - s * n[1], d[2] - s * n[2])
+
+
+def refract3(d, n, eta):
+    """HLSL refract on components; (0,0,0) on total internal reflection."""
+    cosi = dot3(d, n)
+    k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    s = eta * cosi + jnp.sqrt(jnp.maximum(k, 0.0))
+    ok = k >= 0.0
+    return tuple(jnp.where(ok, eta * d[i] - s * n[i], 0.0) for i in range(3))
+
+
+def barycentric_weights3(tri0, tri1, tri2, point):
+    """Area-ratio weights (w0, w1, w2) at ``point``; components in,
+    components out (reference: RayTraceHelper.hlsl:12-35)."""
+    v0 = sub3(tri0, point)
+    v1 = sub3(tri1, point)
+    v2 = sub3(tri2, point)
+    e01 = sub3(tri0, tri1)
+    e02 = sub3(tri0, tri2)
+    a0 = norm3(cross3(e01, e02))
+    a0 = jnp.where(a0 == 0.0, 1.0, a0)
+    w0 = norm3(cross3(v1, v2)) / a0
+    w1 = norm3(cross3(v2, v0)) / a0
+    w2 = norm3(cross3(v0, v1)) / a0
+    return w0, w1, w2
+
+
+def sample_texture_planes(tex_planes, tex_hw, tex_id, u, v):
+    """Bilinear wrap sample from channel-split texture planes.
+
+    tex_planes: tuple of 4 [T, H, W] arrays (the channel-major form of
+    the [T, H, W, 4] stack — gathering a [R, 4] row per ray would pad
+    32x; four [R] gathers pad none).  Returns a 4-tuple of [R] channels;
+    tex_id -1 samples white.
+    """
+    tid = jnp.maximum(tex_id, 0)
+    h = tex_hw[tid, 0].astype(u.dtype)
+    w = tex_hw[tid, 1].astype(u.dtype)
+    uu = u - jnp.floor(u)
+    vv = v - jnp.floor(v)
+    x = uu * w - 0.5
+    y = vv * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    wi = w.astype(jnp.int32)
+    hi = h.astype(jnp.int32)
+
+    def idx(xi, yi):
+        return tid, jnp.mod(yi.astype(jnp.int32), hi), jnp.mod(
+            xi.astype(jnp.int32), wi
+        )
+
+    i00 = idx(x0, y0)
+    i10 = idx(x0 + 1, y0)
+    i01 = idx(x0, y0 + 1)
+    i11 = idx(x0 + 1, y0 + 1)
+    has_tex = tex_id >= 0
+    out = []
+    for p in tex_planes:
+        c = (
+            p[i00] * (1 - fx) * (1 - fy)
+            + p[i10] * fx * (1 - fy)
+            + p[i01] * (1 - fx) * fy
+            + p[i11] * fx * fy
+        )
+        out.append(jnp.where(has_tex, c, jnp.ones_like(c)))
+    return tuple(out)
+
+
+def render_pixel3(materials, mat_id, tex_planes, tex_hw, u, v):
+    """saturate(ambient + diffuse * texColor) per channel
+    (reference: RayTraceRender.hlsl:16-29).  Returns a 4-tuple of [R]."""
+    tex_id = materials.tex_id[mat_id]
+    tex = sample_texture_planes(tex_planes, tex_hw, tex_id, u, v)
+    out = []
+    for c in range(4):
+        amb = materials.ambient[:, c][mat_id]
+        dif = materials.diffuse[:, c][mat_id]
+        out.append(jnp.clip(amb + dif * tex[c], 0.0, 1.0))
+    return tuple(out)

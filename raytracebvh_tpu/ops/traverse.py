@@ -89,15 +89,34 @@ def traverse(bvh: BVH, rays: Rays, epsilon: float, max_steps: int = 0) -> HitRec
     Returns HitRecord with leaf ids into the BVH's leaf arrays
     (reference stores index/3 = face id in ColTri,
     RayTraceTraversal.hlsl:157; recover it as ``bvh.prim[leaf]``).
+
+    Layout note: everything inside the hot loop is 1-D component arrays
+    (structure-of-arrays).  TPU tiles the minor-most axis to 128 lanes,
+    so a gathered [R, 3] vector array is padded 128/3 = 42x in HBM; the
+    same data as three [R] gathers is padded ~0%.  This one property is
+    worth ~an order of magnitude on the traversal's bandwidth bill.
     """
     n = bvh.n_leaves
     root = jnp.int32(n)
-    origin = rays.origin
-    inv_dir = rays.inv_direction
-    direction = rays.direction
-    nrays = origin.shape[0]
+    nrays = rays.origin.shape[0]
     if max_steps <= 0:
         max_steps = 4 * n
+
+    # split every gathered table into 1-D component arrays (see note)
+    ox, oy, oz = (rays.origin[:, k] for k in range(3))
+    dx, dy, dz = (rays.direction[:, k] for k in range(3))
+    inv = rays.inv_direction
+    ix, iy, iz = (inv[:, k] for k in range(3))
+    bminx, bminy, bminz = (bvh.bbmin[:, k] for k in range(3))
+    bmaxx, bmaxy, bmaxz = (bvh.bbmax[:, k] for k in range(3))
+    tv = bvh.tri_verts  # [n, 3, 3]
+    v0x, v0y, v0z = (tv[:, 0, k] for k in range(3))
+    # precompute edges once per build (the reference re-derives them from
+    # re-transformed vertices on every leaf visit, quirk Q7)
+    e1x, e1y, e1z = (tv[:, 1, k] - tv[:, 0, k] for k in range(3))
+    e2x, e2y, e2z = (tv[:, 2, k] - tv[:, 0, k] for k in range(3))
+    entry_link = bvh.entry_link
+    skip_link = bvh.skip_link
 
     def cond(state):
         node, _, _, _, it = state
@@ -108,38 +127,70 @@ def traverse(bvh: BVH, rays: Rays, epsilon: float, max_steps: int = 0) -> HitRec
         live = node >= 0
         nid = jnp.maximum(node, 0)
 
-        bmin = bvh.bbmin[nid]
-        bmax = bvh.bbmax[nid]
-        bhit = ray_box_hit(origin, inv_dir, bmin, bmax, hit, dist) & live
+        # slab test (reference: RayTraceTraversal.hlsl:92-104); empty
+        # padding boxes (bbmin > bbmax) can never pass
+        t0x = (bminx[nid] - ox) * ix
+        t1x = (bmaxx[nid] - ox) * ix
+        t0y = (bminy[nid] - oy) * iy
+        t1y = (bmaxy[nid] - oy) * iy
+        t0z = (bminz[nid] - oz) * iz
+        t1z = (bmaxz[nid] - oz) * iz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        nonempty = bminx[nid] <= bmaxx[nid]
+        bhit = (0.0 <= tmax) & (tmin <= tmax) & nonempty
+        bhit = bhit & (~hit | (tmin <= dist)) & live
 
         is_leaf = nid < n
-        # leaf triangle test (masked; padding leaves have prim == -1 and
-        # empty boxes, so bhit already excludes them)
+        # leaf triangle test, Moeller-Trumbore on components
+        # (reference: RayTraceTraversal.hlsl:41-86; masked — padding
+        # leaves have empty boxes so bhit already excludes them)
         lid = jnp.where(is_leaf, nid, 0)
-        tri = bvh.tri_verts[lid]  # [R, 3, 3]
-        t = moller_trumbore(
-            origin, direction, tri[:, 0], tri[:, 1], tri[:, 2], epsilon
+        g_v0x, g_v0y, g_v0z = v0x[lid], v0y[lid], v0z[lid]
+        g_e1x, g_e1y, g_e1z = e1x[lid], e1y[lid], e1z[lid]
+        g_e2x, g_e2y, g_e2z = e2x[lid], e2y[lid], e2z[lid]
+        px = dy * g_e2z - dz * g_e2y
+        py = dz * g_e2x - dx * g_e2z
+        pz = dx * g_e2y - dy * g_e2x
+        det = g_e1x * px + g_e1y * py + g_e1z * pz
+        det_ok = jnp.abs(det) >= epsilon
+        inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+        tvx, tvy, tvz = ox - g_v0x, oy - g_v0y, oz - g_v0z
+        u = (tvx * px + tvy * py + tvz * pz) * inv_det
+        qx = tvy * g_e1z - tvz * g_e1y
+        qy = tvz * g_e1x - tvx * g_e1z
+        qz = tvx * g_e1y - tvy * g_e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (g_e2x * qx + g_e2y * qy + g_e2z * qz) * inv_det
+        tri_ok = (
+            det_ok
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > epsilon)
         )
-        upd = (
-            live
-            & is_leaf
-            & bhit
-            & (t != -1.0)
-            & (~hit | (t < dist))
-        )
+
+        upd = live & is_leaf & bhit & tri_ok & (~hit | (t < dist))
         dist = jnp.where(upd, t, dist)
         leaf = jnp.where(upd, nid, leaf)
         hit = hit | upd
 
         descend = bhit & ~is_leaf
-        nxt = jnp.where(descend, bvh.entry_link[nid], bvh.skip_link[nid])
+        nxt = jnp.where(descend, entry_link[nid], skip_link[nid])
         node = jnp.where(live, nxt, node)
         return node, hit, dist, leaf, it + 1
 
     state = (
         jnp.full(nrays, root, jnp.int32),
         jnp.zeros(nrays, bool),
-        jnp.zeros(nrays, origin.dtype),
+        jnp.zeros(nrays, rays.origin.dtype),
         jnp.zeros(nrays, jnp.int32),
         jnp.int32(0),
     )

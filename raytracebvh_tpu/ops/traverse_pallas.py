@@ -116,7 +116,13 @@ def _traverse_kernel(
     def body(state):
         node, hit, dist, leaf, step = state
         live = node >= 0
-        nid = jnp.maximum(node, 0)
+        # Idle lanes follow a live representative instead of parking at
+        # node 0: _gather_cols prunes source tiles by the [min, max] of
+        # the requested ids, and a parked 0 would drag every gather's
+        # range down to tile 0.
+        rep = jnp.min(jnp.where(live, node, jnp.int32(2 * n_leaves - 1)))
+        nid = jnp.where(live, node, rep)
+        nid = jnp.maximum(nid, 0)  # all-dead tile: rep clamp
 
         row = _gather_cols(node_tbl, nid, node_width, scratch)  # [8, w]
         bminx, bminy, bminz = row[0:1], row[1:2], row[2:3]
@@ -148,8 +154,12 @@ def _traverse_kernel(
         is_leaf = nid < n_leaves
 
         # Moeller-Trumbore against the leaf triangle
-        # (reference: RayTraceTraversal.hlsl:41-86)
-        lid = jnp.where(is_leaf, nid, 0)
+        # (reference: RayTraceTraversal.hlsl:41-86).  Lanes not at a live
+        # hit leaf gather a representative active leaf so the source-tile
+        # range covers only leaves actually being tested this step.
+        act = live & is_leaf & bhit
+        lrep = jnp.min(jnp.where(act, nid, jnp.int32(n_leaves - 1)))
+        lid = jnp.where(act, nid, lrep)
         ta = _gather_cols(tri_tbl, lid, tri_width, scratch)
         v0x, v0y, v0z = ta[0:1], ta[1:2], ta[2:3]
         e1x, e1y, e1z = ta[3:4], ta[4:5], ta[5:6]

@@ -35,7 +35,7 @@ from jax import shard_map
 
 from ..config import RenderConfig
 from ..core.types import Camera, Rays, Scene
-from ..pipeline import bounce, build_bvh, launch, make_rays, render_frame
+from ..pipeline import build_bvh, make_rays, render_frame, shade_rays
 from ..camera import camera_matrices
 from .mesh import GEO_AXIS, RAYS_AXIS, ray_sharded, replicated
 
@@ -56,11 +56,9 @@ def render_sharded(scene: Scene, camera: Camera, cfg: RenderConfig, mesh: Mesh):
 
 
 def _trace_tile(scene: Scene, bvh, rays: Rays, cfg: RenderConfig):
-    """Launch + bounces for a tile of rays (used inside shard_map)."""
-    color, refl, intensity = launch(scene, bvh, rays, cfg)
-    for _ in range(cfg.bounces):
-        color, refl, intensity = bounce(scene, bvh, color, refl, intensity, cfg)
-    return color
+    """Launch + bounces (+ refraction) for a tile of rays (inside
+    shard_map); the SoA chain from pipeline.py."""
+    return shade_rays(scene, bvh, rays, cfg)
 
 
 def render_geo_sharded(

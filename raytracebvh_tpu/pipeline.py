@@ -150,79 +150,147 @@ def _traverse_ids(bvh: BVH, rays: Rays, cfg: RenderConfig) -> HitRecord:
     )
 
 
-def _shade_hit(scene: Scene, bvh: BVH, rays: Rays, rec: HitRecord):
-    """Differentiable re-evaluation of a hit: distance, position, uv,
-    normal, surface color (renderPixel * specular — reference:
-    RayTraceLaunch.hlsl:57-59), and per-hit material scalars."""
-    leaf = rec.leaf
-    tri = bvh.tri_verts[leaf]  # [R, 3, 3]
-    # recompute the hit distance differentiably (traversal's is stop-grad)
-    t = moller_trumbore(
-        rays.origin, rays.direction, tri[:, 0], tri[:, 1], tri[:, 2], 1e-12
-    )
-    t = jnp.where(rec.hit, t, 0.0)
-    hit_loc = rays.origin + rays.direction * t[:, None]
+def _gather3(table, axis_idx, leaf):
+    """(table[:, axis_idx, 0][leaf], ..[1][leaf], ..[2][leaf]) — three 1-D
+    gathers instead of one [R, 3] row gather (42x HBM padding; see
+    ops/traverse.py layout note)."""
+    return tuple(table[:, axis_idx, k][leaf] for k in range(3))
 
-    uv, normal = shade_ops.barycentric_normal_uv(
-        tri, bvh.tri_normals[leaf], bvh.tri_uv[leaf], hit_loc
+
+def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord):
+    """Differentiable re-evaluation of a hit: position, normal, surface
+    color (renderPixel * specular — reference: RayTraceLaunch.hlsl:57-59)
+    and per-hit material scalars.  All per-ray values are 1-D component
+    arrays (structure-of-arrays; see ops/traverse.py layout note)."""
+    leaf = rec.leaf
+    t0 = _gather3(bvh.tri_verts, 0, leaf)
+    t1 = _gather3(bvh.tri_verts, 1, leaf)
+    t2 = _gather3(bvh.tri_verts, 2, leaf)
+
+    # recompute the hit distance differentiably (traversal's is
+    # stop-grad); op-for-op the moller_trumbore formula
+    # (reference: RayTraceTraversal.hlsl:41-86)
+    e1 = shade_ops.sub3(t1, t0)
+    e2 = shade_ops.sub3(t2, t0)
+    p = shade_ops.cross3(d3, e2)
+    det = shade_ops.dot3(e1, p)
+    det_ok = jnp.abs(det) >= 1e-12
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    tv = shade_ops.sub3(o3, t0)
+    u = shade_ops.dot3(tv, p) * inv_det
+    q = shade_ops.cross3(tv, e1)
+    v = shade_ops.dot3(d3, q) * inv_det
+    t = shade_ops.dot3(e2, q) * inv_det
+    ok = (
+        det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > 1e-12)
     )
+    t = jnp.where(ok, t, -1.0)
+    t = jnp.where(rec.hit, t, 0.0)
+    hit_loc = tuple(o3[i] + d3[i] * t for i in range(3))
+
+    w0, w1, w2 = shade_ops.barycentric_weights3(t0, t1, t2, hit_loc)
+    n0 = _gather3(bvh.tri_normals, 0, leaf)
+    n1 = _gather3(bvh.tri_normals, 1, leaf)
+    n2 = _gather3(bvh.tri_normals, 2, leaf)
+    normal = tuple(
+        n0[i] * w0 + n1[i] * w1 + n2[i] * w2 for i in range(3)
+    )
+    uvu = (
+        bvh.tri_uv[:, 0, 0][leaf] * w0
+        + bvh.tri_uv[:, 1, 0][leaf] * w1
+        + bvh.tri_uv[:, 2, 0][leaf] * w2
+    )
+    uvv = (
+        bvh.tri_uv[:, 0, 1][leaf] * w0
+        + bvh.tri_uv[:, 1, 1][leaf] * w1
+        + bvh.tri_uv[:, 2, 1][leaf] * w2
+    )
+
     mat_id = bvh.tri_mat[leaf]
-    base = shade_ops.render_pixel(
-        scene.materials, mat_id, scene.textures, scene.tex_hw, uv
+    tex_planes = tuple(scene.textures[..., c] for c in range(4))
+    base = shade_ops.render_pixel3(
+        scene.materials, mat_id, tex_planes, scene.tex_hw, uvu, uvv
     )
-    color = base * scene.materials.specular[mat_id]
+    color = tuple(
+        base[c] * scene.materials.specular[:, c][mat_id] for c in range(4)
+    )
     shininess = scene.materials.shininess[mat_id]
     alpha = scene.materials.alpha[mat_id]
     optical = scene.materials.optical_density[mat_id]
     return hit_loc, normal, color, shininess, alpha, optical
 
 
-def launch_full(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
-    """Primary-ray pass (reference: RayTraceLaunch.hlsl).
-
-    Returns (color [R,4], refl_rays, refl_intensity [R], refr_rays,
-    refr_intensity [R]) — the two RayPresent buffers the reference stores
-    to u4/u5 (RayTraceGlobal.hlsl:117-118).  The refraction spawn follows
-    RayTraceLaunch.hlsl:69-80 (intensity = (1-alpha)*REFRACTION_DECAY,
-    origin offset *into* the surface, HLSL refract with eta =
-    opticalDensity) — a pass the reference allocates but never dispatches
-    (Graphics.cpp:805-809, quirk Q4); here it actually runs when
-    cfg.enable_refraction.
-    """
-    rec = _traverse_ids(bvh, rays, cfg)
-    hit_loc, normal, hit_color, shininess, alpha, optical = _shade_hit(
-        scene, bvh, rays, rec
+def _rays_of(o3, d3):
+    return Rays(
+        origin=jnp.stack(o3, axis=-1), direction=jnp.stack(d3, axis=-1)
     )
 
-    background = jnp.asarray(cfg.background, hit_color.dtype)
-    color = jnp.where(rec.hit[:, None], hit_color, background)
+
+def _split_rays(rays: Rays):
+    o = rays.origin
+    d = rays.direction
+    return tuple(o[:, k] for k in range(3)), tuple(d[:, k] for k in range(3))
+
+
+def _launch_soa(scene: Scene, bvh: BVH, o3, d3, cfg: RenderConfig):
+    """Primary-ray pass (reference: RayTraceLaunch.hlsl), SoA form.
+
+    Returns (color4, (refl_o3, refl_d3), refl_intensity,
+    (refr_o3, refr_d3), refr_intensity) — the two RayPresent buffers the
+    reference stores to u4/u5 (RayTraceGlobal.hlsl:117-118).  The
+    refraction spawn follows RayTraceLaunch.hlsl:69-80 (intensity =
+    (1-alpha)*REFRACTION_DECAY, origin offset *into* the surface, HLSL
+    refract with eta = opticalDensity) — a pass the reference allocates
+    but never dispatches (Graphics.cpp:805-809, quirk Q4); here it
+    actually runs when cfg.enable_refraction.
+    """
+    rec = _traverse_ids(bvh, _rays_of(o3, d3), cfg)
+    hit_loc, normal, hit_color, shininess, alpha, optical = _shade_hit_soa(
+        scene, bvh, o3, d3, rec
+    )
+    hit = rec.hit
+
+    color = tuple(
+        jnp.where(hit, hit_color[c], cfg.background[c]) for c in range(4)
+    )
 
     # reflection spawn (reference: RayTraceLaunch.hlsl:48-67)
-    intensity = jnp.where(
-        rec.hit, shininess / 1000.0 * cfg.reflection_decay, 0.0
+    intensity = jnp.where(hit, shininess / 1000.0 * cfg.reflection_decay, 0.0)
+    refl_dir = shade_ops.normalize3(shade_ops.reflect3(d3, normal))
+    refl_o = tuple(
+        jnp.where(hit, hit_loc[i] + normal[i] * cfg.ray_offset, o3[i])
+        for i in range(3)
     )
-    refl_origin = hit_loc + normal * cfg.ray_offset
-    refl_dir = shade_ops.normalize(shade_ops.reflect(rays.direction, normal))
-    refl = Rays(
-        origin=jnp.where(rec.hit[:, None], refl_origin, rays.origin),
-        direction=jnp.where(rec.hit[:, None], refl_dir, rays.direction),
-    )
+    refl_d = tuple(jnp.where(hit, refl_dir[i], d3[i]) for i in range(3))
 
     # refraction spawn (reference: RayTraceLaunch.hlsl:69-80)
-    refr_dir_raw = shade_ops.refract(rays.direction, normal, optical)
-    tir = jnp.sum(refr_dir_raw * refr_dir_raw, axis=-1) == 0.0  # total internal refl
+    refr_raw = shade_ops.refract3(d3, normal, optical)
+    tir = shade_ops.dot3(refr_raw, refr_raw) == 0.0  # total internal refl
+    live_q = hit & ~tir
     refr_intensity = jnp.where(
-        rec.hit & ~tir, (1.0 - alpha) * cfg.refraction_decay, 0.0
+        live_q, (1.0 - alpha) * cfg.refraction_decay, 0.0
     )
-    refr_origin = hit_loc - normal * cfg.ray_offset
-    refr_dir = shade_ops.normalize(refr_dir_raw)
-    refr = Rays(
-        origin=jnp.where(rec.hit[:, None], refr_origin, rays.origin),
-        direction=jnp.where(
-            (rec.hit & ~tir)[:, None], refr_dir, rays.direction
-        ),
+    refr_dir = shade_ops.normalize3(refr_raw)
+    refr_o = tuple(
+        jnp.where(hit, hit_loc[i] - normal[i] * cfg.ray_offset, o3[i])
+        for i in range(3)
     )
-    return color, refl, intensity, refr, refr_intensity
+    refr_d = tuple(jnp.where(live_q, refr_dir[i], d3[i]) for i in range(3))
+    return color, (refl_o, refl_d), intensity, (refr_o, refr_d), refr_intensity
+
+
+def launch_full(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
+    """AoS adapter over _launch_soa (kept for parallel/render.py + tests)."""
+    o3, d3 = _split_rays(rays)
+    color, refl, ri, refr, qi = _launch_soa(scene, bvh, o3, d3, cfg)
+    return (
+        jnp.stack(color, axis=-1),
+        _rays_of(*refl),
+        ri,
+        _rays_of(*refr),
+        qi,
+    )
 
 
 def launch(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
@@ -231,71 +299,101 @@ def launch(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
     return color, refl, intensity
 
 
-def bounce(scene: Scene, bvh: BVH, color, rays: Rays, intensity, cfg: RenderConfig):
-    """One reflection pass (reference: RayTraceReflection.hlsl).
+def _bounce_soa(scene: Scene, bvh: BVH, color, o3, d3, intensity,
+                cfg: RenderConfig):
+    """One reflection pass (reference: RayTraceReflection.hlsl), SoA form.
 
     Live rays (intensity > INTENSITY_MIN) re-trace; hits lerp the carried
     color toward the new surface color and respawn; misses lerp toward the
     background and die.
     """
     live = intensity > cfg.intensity_min
-    rec = _traverse_ids(bvh, rays, cfg)
-    hit_loc, normal, hit_color, shininess, _, _ = _shade_hit(scene, bvh, rays, rec)
+    rec = _traverse_ids(bvh, _rays_of(o3, d3), cfg)
+    hit_loc, normal, hit_color, shininess, _, _ = _shade_hit_soa(
+        scene, bvh, o3, d3, rec
+    )
+    hit = rec.hit
 
-    background = jnp.asarray(cfg.background, color.dtype)
-    target = jnp.where(rec.hit[:, None], hit_color, background)
-    lerped = color + intensity[:, None] * (target - color)
-    new_color = jnp.where(live[:, None], lerped, color)
+    new_color = tuple(
+        jnp.where(
+            live,
+            color[c]
+            + intensity * (jnp.where(hit, hit_color[c], cfg.background[c])
+                           - color[c]),
+            color[c],
+        )
+        for c in range(4)
+    )
 
     new_intensity = jnp.where(
-        live & rec.hit,
-        intensity * shininess / 1000.0 * cfg.reflection_decay,
-        0.0,
+        live & hit, intensity * shininess / 1000.0 * cfg.reflection_decay, 0.0
     )
-    new_origin = hit_loc + normal * cfg.bounce_ray_offset
-    new_dir = shade_ops.normalize(shade_ops.reflect(rays.direction, normal))
-    upd = (live & rec.hit)[:, None]
-    new_rays = Rays(
-        origin=jnp.where(upd, new_origin, rays.origin),
-        direction=jnp.where(upd, new_dir, rays.direction),
+    new_dir = shade_ops.normalize3(shade_ops.reflect3(d3, normal))
+    upd = live & hit
+    new_o = tuple(
+        jnp.where(upd, hit_loc[i] + normal[i] * cfg.bounce_ray_offset, o3[i])
+        for i in range(3)
     )
-    return new_color, new_rays, new_intensity
+    new_d = tuple(jnp.where(upd, new_dir[i], d3[i]) for i in range(3))
+    return new_color, new_o, new_d, new_intensity
+
+
+def _bounce_refract_soa(scene: Scene, bvh: BVH, color, o3, d3, intensity,
+                        cfg: RenderConfig):
+    """One refraction (transmission) pass — the dispatch the reference
+    stubbed out (Graphics.cpp:805-809).  Mirrors ``_bounce_soa`` but
+    continues *through* surfaces: same color lerp, intensity decays by the
+    hit material's transparency (1-alpha), respawn offset into the surface
+    with an HLSL-refract direction; total internal reflection kills the
+    ray."""
+    live = intensity > cfg.intensity_min
+    rec = _traverse_ids(bvh, _rays_of(o3, d3), cfg)
+    hit_loc, normal, hit_color, _, alpha, optical = _shade_hit_soa(
+        scene, bvh, o3, d3, rec
+    )
+    hit = rec.hit
+
+    new_color = tuple(
+        jnp.where(
+            live,
+            color[c]
+            + intensity * (jnp.where(hit, hit_color[c], cfg.background[c])
+                           - color[c]),
+            color[c],
+        )
+        for c in range(4)
+    )
+
+    refr_raw = shade_ops.refract3(d3, normal, optical)
+    tir = shade_ops.dot3(refr_raw, refr_raw) == 0.0
+    upd = live & hit & ~tir
+    new_intensity = jnp.where(
+        upd, intensity * (1.0 - alpha) * cfg.refraction_decay, 0.0
+    )
+    new_dir = shade_ops.normalize3(refr_raw)
+    new_o = tuple(
+        jnp.where(upd, hit_loc[i] - normal[i] * cfg.bounce_ray_offset, o3[i])
+        for i in range(3)
+    )
+    new_d = tuple(jnp.where(upd, new_dir[i], d3[i]) for i in range(3))
+    return new_color, new_o, new_d, new_intensity
+
+
+def bounce(scene: Scene, bvh: BVH, color, rays: Rays, intensity, cfg: RenderConfig):
+    """AoS adapter over _bounce_soa (kept for parallel/render.py + tests)."""
+    o3, d3 = _split_rays(rays)
+    c4 = tuple(color[:, c] for c in range(4))
+    nc, no, nd, ni = _bounce_soa(scene, bvh, c4, o3, d3, intensity, cfg)
+    return jnp.stack(nc, axis=-1), _rays_of(no, nd), ni
 
 
 def bounce_refract(scene: Scene, bvh: BVH, color, rays: Rays, intensity,
                    cfg: RenderConfig):
-    """One refraction (transmission) pass — the dispatch the reference
-    stubbed out (Graphics.cpp:805-809).  Mirrors ``bounce`` but continues
-    *through* surfaces: same color lerp, intensity decays by the hit
-    material's transparency (1-alpha), respawn offset into the surface
-    with an HLSL-refract direction; total internal reflection kills the
-    ray."""
-    live = intensity > cfg.intensity_min
-    rec = _traverse_ids(bvh, rays, cfg)
-    hit_loc, normal, hit_color, _, alpha, optical = _shade_hit(
-        scene, bvh, rays, rec
-    )
-
-    background = jnp.asarray(cfg.background, color.dtype)
-    target = jnp.where(rec.hit[:, None], hit_color, background)
-    lerped = color + intensity[:, None] * (target - color)
-    new_color = jnp.where(live[:, None], lerped, color)
-
-    refr_dir_raw = shade_ops.refract(rays.direction, normal, optical)
-    tir = jnp.sum(refr_dir_raw * refr_dir_raw, axis=-1) == 0.0
-    new_intensity = jnp.where(
-        live & rec.hit & ~tir,
-        intensity * (1.0 - alpha) * cfg.refraction_decay,
-        0.0,
-    )
-    new_origin = hit_loc - normal * cfg.bounce_ray_offset
-    new_dir = shade_ops.normalize(refr_dir_raw)
-    upd = (live & rec.hit & ~tir)[:, None]
-    new_rays = Rays(
-        origin=jnp.where(upd, new_origin, rays.origin),
-        direction=jnp.where(upd, new_dir, rays.direction),
-    )
-    return new_color, new_rays, new_intensity
+    """AoS adapter over _bounce_refract_soa."""
+    o3, d3 = _split_rays(rays)
+    c4 = tuple(color[:, c] for c in range(4))
+    nc, no, nd, ni = _bounce_refract_soa(scene, bvh, c4, o3, d3, intensity, cfg)
+    return jnp.stack(nc, axis=-1), _rays_of(no, nd), ni
 
 
 def make_rays(camera: Camera, cfg: RenderConfig) -> Rays:
@@ -328,10 +426,19 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
 
 
 def _shade_rays_one(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
-    """launch + bounce chain (+ refraction) for one batch of rays."""
-    color, refl, intensity, refr, refr_int = launch_full(scene, bvh, rays, cfg)
+    """launch + bounce chain (+ refraction) for one batch of rays.
+
+    Internally pure structure-of-arrays; the only [R, 4] array is the
+    final stacked color."""
+    o3, d3 = _split_rays(rays)
+    color, refl, intensity, refr, refr_int = _launch_soa(
+        scene, bvh, o3, d3, cfg
+    )
+    ro, rd = refl
     for _ in range(cfg.bounces):
-        color, refl, intensity = bounce(scene, bvh, color, refl, intensity, cfg)
+        color, ro, rd, intensity = _bounce_soa(
+            scene, bvh, color, ro, rd, intensity, cfg
+        )
     if cfg.enable_refraction:
         # the refraction chain starts from a white carrier color
         # (reference: RayTraceLaunch.hlsl:70 refrRay.color = 1,1,1,1) and
@@ -342,15 +449,18 @@ def _shade_rays_one(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
         # chain intensity starts at 1 (the spawn transparency is applied
         # once, in the final blend), so rcolor = "the color seen through
         # the surface"; deeper transparent hits recurse with their own
-        # (1-alpha) via bounce_refract.
+        # (1-alpha) via _bounce_refract_soa.
         chain_int = jnp.where(refr_int > 0.0, jnp.ones_like(refr_int), 0.0)
-        rcolor = jnp.ones_like(color)
+        qo, qd = refr
+        rcolor = tuple(jnp.ones_like(color[c]) for c in range(4))
         for _ in range(cfg.bounces):
-            rcolor, refr, chain_int = bounce_refract(
-                scene, bvh, rcolor, refr, chain_int, cfg
+            rcolor, qo, qd, chain_int = _bounce_refract_soa(
+                scene, bvh, rcolor, qo, qd, chain_int, cfg
             )
-        color = color + w0[:, None] * (rcolor - color)
-    return color
+        color = tuple(
+            color[c] + w0 * (rcolor[c] - color[c]) for c in range(4)
+        )
+    return jnp.stack(color, axis=-1)
 
 
 def shade_rays(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):

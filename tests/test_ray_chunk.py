@@ -15,7 +15,9 @@ def test_ray_chunk_image_identical():
     base = RenderConfig(width=32, height=32, bounces=2, ortho_scale=0.2)
     a = np.asarray(render_frame_jit(scene, cam, base))
     b = np.asarray(render_frame_jit(scene, cam, base.replace(ray_chunk=256)))
-    np.testing.assert_array_equal(a, b)
+    # same math; XLA fuses the tiled map differently, so allow f32
+    # reassociation noise
+    np.testing.assert_allclose(a, b, atol=2e-5)
 
 
 def test_ray_chunk_grads_match():
