@@ -9,6 +9,23 @@ reflections — plus differentiability and multi-chip sharding the reference
 never had.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: frame-pipeline compiles at megapixel
+# resolutions take minutes through the TPU compile service; identical HLO
+# must never compile twice across processes.  (The reference's analog is
+# its precompiled .cso shader cache, Graphics.cpp:245-284.)
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "RTBVH_COMPILE_CACHE",
+            _os.path.expanduser("~/.cache/rtbvh_xla"),
+        ),
+    )
+
 from .config import RenderConfig
 from .core.types import BVH, Camera, HitRecord, Materials, Rays, Scene
 from .pipeline import build_bvh, render_frame, render_frame_jit

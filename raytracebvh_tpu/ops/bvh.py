@@ -165,8 +165,15 @@ def fit_aabbs(child_l, child_r, leaf_bbmin, leaf_bbmax):
     two_n = 2 * n
     is_internal = (jnp.arange(two_n) >= n) & (jnp.arange(two_n) < two_n - 1)
 
-    bbmin = jnp.full((two_n, 3), BIG, leaf_bbmin.dtype).at[:n].set(leaf_bbmin)
-    bbmax = jnp.full((two_n, 3), -BIG, leaf_bbmax.dtype).at[:n].set(leaf_bbmax)
+    # 1-D component arrays in the loop (SoA; see ops/traverse.py layout
+    # note — [2n, 3] gathers pad 42x under TPU tiling)
+    dt = leaf_bbmin.dtype
+    mins = tuple(
+        jnp.full(two_n, BIG, dt).at[:n].set(leaf_bbmin[:, k]) for k in range(3)
+    )
+    maxs = tuple(
+        jnp.full(two_n, -BIG, dt).at[:n].set(leaf_bbmax[:, k]) for k in range(3)
+    )
     ready = jnp.arange(two_n) < n
 
     cl = jnp.maximum(child_l, 0)
@@ -177,19 +184,21 @@ def fit_aabbs(child_l, child_r, leaf_bbmin, leaf_bbmax):
         return (~ready[n]) & (it < two_n)
 
     def body(state):
-        bbmin, bbmax, ready, it = state
+        mins, maxs, ready, it = state
         settled = is_internal & ready[cl] & ready[cr]
         upd = settled & ~ready
-        nmin = jnp.minimum(bbmin[cl], bbmin[cr])
-        nmax = jnp.maximum(bbmax[cl], bbmax[cr])
-        bbmin = jnp.where(upd[:, None], nmin, bbmin)
-        bbmax = jnp.where(upd[:, None], nmax, bbmax)
-        return bbmin, bbmax, ready | settled, it + 1
+        mins = tuple(
+            jnp.where(upd, jnp.minimum(m[cl], m[cr]), m) for m in mins
+        )
+        maxs = tuple(
+            jnp.where(upd, jnp.maximum(m[cl], m[cr]), m) for m in maxs
+        )
+        return mins, maxs, ready | settled, it + 1
 
-    bbmin, bbmax, _, _ = jax.lax.while_loop(
-        cond, body, (bbmin, bbmax, ready, jnp.int32(0))
+    mins, maxs, _, _ = jax.lax.while_loop(
+        cond, body, (mins, maxs, ready, jnp.int32(0))
     )
-    return bbmin, bbmax
+    return jnp.stack(mins, axis=-1), jnp.stack(maxs, axis=-1)
 
 
 def compute_links(child_l, child_r, parent, n):

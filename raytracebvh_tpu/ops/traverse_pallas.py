@@ -5,22 +5,25 @@ Same algorithm — stackless skip-link walk with Moeller-Trumbore leaf tests
 (reference semantics: RayTraceTraversal.hlsl:41-104,133-192) — but executed
 entirely on-chip:
 
-  * The whole BVH lives in VMEM as two channel-major tables:
-      node table [8, 2n]:  bbmin.xyz, bbmax.xyz, links (entry|skip packed
-                  as two uint16 into one f32 bit pattern), e2.z (leaf
-                  columns only — leaves are node ids 0..n-1)
-      tri table  [8, n]:   v0.xyz, e1.xyz, e2.xy
+  * The whole BVH lives in VMEM as ONE channel-major table [16, 2n]:
+      ch 0-5   bbmin.xyz, bbmax.xyz
+      ch 6     links (entry|skip packed as two uint16 in one f32 pattern)
+      ch 7-15  leaf triangle v0.xyz, e1.xyz, e2.xyz (leaf columns only —
+               leaves are node ids 0..n-1; internal columns hold zeros)
     Edges are precomputed at build time — the reference re-derives them
-    from re-transformed vertices on every leaf visit (quirk Q7).
+    from re-transformed vertices on every leaf visit (quirk Q7).  One
+    fused table means ONE gather per traversal step.
   * TPU's dynamic_gather shuffles within one 128-lane vreg, so a table
     gather decomposes into (width/128) in-tile shuffles combined by
     tile-id selects.  Per 128-ray output tile we compute the scalar
     min/max source tile actually referenced and predicate away the rest
     (pl.when) — coherent rays (primary rays, early steps) then touch only
-    a handful of source tiles.
+    a handful of source tiles.  Idle/dead lanes follow a live
+    representative so they never widen that range.
   * Rays run in tiles of ``block_rays``; each tile has its own while-loop,
     so a finished tile stops instead of idling until the slowest ray of
-    the frame (the main cost of the XLA version).
+    the frame (the main cost of the XLA version, whose lock-step batch
+    runs every iteration over every ray).
 
 Padding-leaf validity needs no flag: padding leaves carry empty boxes
 (bbmin > bbmax), which the slab test rejects, so they can never become
@@ -42,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.types import BVH, HitRecord, Rays
 
 LANES = 128
+CHANNELS = 16
 
 
 def _round_up(x: int, m: int) -> int:
@@ -49,7 +53,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _gather_cols(tbl, idx, width, scratch):
-    """Gather columns ``idx`` [1, W] from channel-major ``tbl`` [8, width].
+    """Gather columns ``idx`` [1, W] from channel-major ``tbl``
+    [CHANNELS, width].
 
     Decomposed into in-vreg shuffles with per-output-tile source bounds:
     only source tiles in [min(tile_id), max(tile_id)] are touched.
@@ -77,10 +82,6 @@ def _gather_cols(tbl, idx, width, scratch):
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
-def _cross(ax, ay, az, bx, by, bz):
-    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
-
-
 def _unpack_links(bits_f32):
     """Decode (entry, skip) int32 from the packed f32 channel.
 
@@ -94,11 +95,10 @@ def _unpack_links(bits_f32):
 
 
 def _traverse_kernel(
-    node_ref, tri_ref, o_ref, d_ref, out_ref, scratch,
-    *, n_leaves, node_width, tri_width, epsilon, max_steps,
+    node_ref, o_ref, d_ref, out_ref, scratch,
+    *, n_leaves, node_width, epsilon, max_steps,
 ):
-    node_tbl = node_ref[:]  # [8, node_width]
-    tri_tbl = tri_ref[:]  # [8, tri_width]
+    node_tbl = node_ref[:]  # [CHANNELS, node_width]
 
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
@@ -124,11 +124,10 @@ def _traverse_kernel(
         nid = jnp.where(live, node, rep)
         nid = jnp.maximum(nid, 0)  # all-dead tile: rep clamp
 
-        row = _gather_cols(node_tbl, nid, node_width, scratch)  # [8, w]
+        row = _gather_cols(node_tbl, nid, node_width, scratch)  # [16, w]
         bminx, bminy, bminz = row[0:1], row[1:2], row[2:3]
         bmaxx, bmaxy, bmaxz = row[3:4], row[4:5], row[5:6]
         entry, skip = _unpack_links(row[6:7])
-        e2z = row[7:8]
 
         # slab test (reference: RayTraceTraversal.hlsl:92-104); empty boxes
         # (padding leaves) fail the bminx <= bmaxx check
@@ -153,25 +152,23 @@ def _traverse_kernel(
 
         is_leaf = nid < n_leaves
 
-        # Moeller-Trumbore against the leaf triangle
-        # (reference: RayTraceTraversal.hlsl:41-86).  Lanes not at a live
-        # hit leaf gather a representative active leaf so the source-tile
-        # range covers only leaves actually being tested this step.
-        act = live & is_leaf & bhit
-        lrep = jnp.min(jnp.where(act, nid, jnp.int32(n_leaves - 1)))
-        lid = jnp.where(act, nid, lrep)
-        ta = _gather_cols(tri_tbl, lid, tri_width, scratch)
-        v0x, v0y, v0z = ta[0:1], ta[1:2], ta[2:3]
-        e1x, e1y, e1z = ta[3:4], ta[4:5], ta[5:6]
-        e2x, e2y = ta[6:7], ta[7:8]
+        # Moeller-Trumbore against the leaf triangle, channels 7-15 of the
+        # same gathered row (reference: RayTraceTraversal.hlsl:41-86)
+        v0x, v0y, v0z = row[7:8], row[8:9], row[9:10]
+        e1x, e1y, e1z = row[10:11], row[11:12], row[12:13]
+        e2x, e2y, e2z = row[13:14], row[14:15], row[15:16]
 
-        px, py, pz = _cross(dx, dy, dz, e2x, e2y, e2z)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
         det = e1x * px + e1y * py + e1z * pz
         det_ok = jnp.abs(det) >= epsilon
         inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
         tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
         u = (tvx * px + tvy * py + tvz * pz) * inv_det
-        qx, qy, qz = _cross(tvx, tvy, tvz, e1x, e1y, e1z)
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
         v = (dx * qx + dy * qy + dz * qz) * inv_det
         t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
         tri_hit = (
@@ -217,11 +214,10 @@ def _pack_u16_pair(lo, hi):
 
 
 def pack_tables(bvh: BVH):
-    """Build the channel-major VMEM tables from a BVH (f32)."""
+    """Build the fused channel-major VMEM table [16, width] (f32)."""
     n = bvh.n_leaves
     assert 2 * n < 0xFFFF, "u16 link packing limits the BVH to 32767 leaves"
     node_width = _round_up(2 * n, LANES)
-    tri_width = _round_up(n, LANES)
 
     f32 = jnp.float32
     bbmin = bvh.bbmin.astype(f32)
@@ -232,27 +228,23 @@ def pack_tables(bvh: BVH):
     e1 = (bvh.tri_verts[:, 1] - bvh.tri_verts[:, 0]).astype(f32)
     e2 = (bvh.tri_verts[:, 2] - bvh.tri_verts[:, 0]).astype(f32)
 
-    # channel 7 of the node table carries e2.z in leaf columns
-    ch7 = jnp.zeros(2 * n, f32).at[:n].set(e2[:, 2])
-    node_tbl = jnp.zeros((8, node_width), f32)
+    def leafpad(x):  # leaf columns carry tri data; internal columns zero
+        return jnp.zeros(2 * n, f32).at[:n].set(x)
+
+    node_tbl = jnp.zeros((CHANNELS, node_width), f32)
     node_tbl = node_tbl.at[:, : 2 * n].set(
         jnp.stack(
             [
                 bbmin[:, 0], bbmin[:, 1], bbmin[:, 2],
                 bbmax[:, 0], bbmax[:, 1], bbmax[:, 2],
-                links, ch7,
+                links,
+                leafpad(v0[:, 0]), leafpad(v0[:, 1]), leafpad(v0[:, 2]),
+                leafpad(e1[:, 0]), leafpad(e1[:, 1]), leafpad(e1[:, 2]),
+                leafpad(e2[:, 0]), leafpad(e2[:, 1]), leafpad(e2[:, 2]),
             ]
         )
     )
-
-    tri_tbl = jnp.zeros((8, tri_width), f32)
-    tri_tbl = tri_tbl.at[:, :n].set(
-        jnp.stack(
-            [v0[:, 0], v0[:, 1], v0[:, 2], e1[:, 0], e1[:, 1], e1[:, 2],
-             e2[:, 0], e2[:, 1]]
-        )
-    )
-    return node_tbl, tri_tbl
+    return node_tbl
 
 
 def traverse_pallas(
@@ -273,9 +265,8 @@ def traverse_pallas(
         max_steps = 4 * n
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    node_tbl, tri_tbl = pack_tables(bvh)
+    node_tbl = pack_tables(bvh)
     node_width = node_tbl.shape[1]
-    tri_width = tri_tbl.shape[1]
 
     nrays = rays.origin.shape[0]
     rpad = _round_up(nrays, block_rays)
@@ -291,7 +282,6 @@ def traverse_pallas(
         _traverse_kernel,
         n_leaves=n,
         node_width=node_width,
-        tri_width=tri_width,
         epsilon=epsilon,
         max_steps=max_steps,
     )
@@ -300,8 +290,8 @@ def traverse_pallas(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, node_width), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tri_width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHANNELS, node_width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -309,9 +299,9 @@ def traverse_pallas(
             (3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((3, rpad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((8, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((CHANNELS, LANES), jnp.float32)],
         interpret=interpret,
-    )(node_tbl, tri_tbl, origin, direction)
+    )(node_tbl, origin, direction)
 
     dist = out[0, :nrays]
     leaf = jax.lax.bitcast_convert_type(out[1, :nrays], jnp.int32)

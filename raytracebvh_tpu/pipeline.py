@@ -308,11 +308,16 @@ def _bounce_soa(scene: Scene, bvh: BVH, color, o3, d3, intensity,
     background and die.
     """
     live = intensity > cfg.intensity_min
-    rec = _traverse_ids(bvh, _rays_of(o3, d3), cfg)
+    # dead rays traverse from far outside every AABB: they miss the root
+    # box on step one instead of walking the tree (the reference skips
+    # dead rays per-thread, RayTraceReflection.hlsl:17-18; lanes here are
+    # batched, so "skip" = make the walk trivially short)
+    o3m = tuple(jnp.where(live, o3[i], 1.0e30) for i in range(3))
+    rec = _traverse_ids(bvh, _rays_of(o3m, d3), cfg)
     hit_loc, normal, hit_color, shininess, _, _ = _shade_hit_soa(
         scene, bvh, o3, d3, rec
     )
-    hit = rec.hit
+    hit = rec.hit & live
 
     new_color = tuple(
         jnp.where(
@@ -347,11 +352,12 @@ def _bounce_refract_soa(scene: Scene, bvh: BVH, color, o3, d3, intensity,
     with an HLSL-refract direction; total internal reflection kills the
     ray."""
     live = intensity > cfg.intensity_min
-    rec = _traverse_ids(bvh, _rays_of(o3, d3), cfg)
+    o3m = tuple(jnp.where(live, o3[i], 1.0e30) for i in range(3))
+    rec = _traverse_ids(bvh, _rays_of(o3m, d3), cfg)
     hit_loc, normal, hit_color, _, alpha, optical = _shade_hit_soa(
         scene, bvh, o3, d3, rec
     )
-    hit = rec.hit
+    hit = rec.hit & live
 
     new_color = tuple(
         jnp.where(
