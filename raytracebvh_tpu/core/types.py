@@ -135,6 +135,13 @@ class BVH:
     tri_normals: Any  # [n, 3, 3]
     tri_uv: Any  # [n, 3, 2]
     tri_mat: Any  # [n] int32 material id per leaf
+    # Packed per-leaf shading attributes [n, 40]: t0|t1|t2 xyz (0-8),
+    # n0|n1|n2 xyz (9-17), uv0|uv1|uv2 (18-23), ambient (24-27),
+    # diffuse (28-31), specular (32-35), shininess (36), optical_density
+    # (37), alpha (38), tex_id as an integer-valued float (39).  One row
+    # gather per shaded ray replaces ~30 per-channel gathers (XLA TPU
+    # gathers pay per-op, not per-byte — measured 10x).
+    leaf_attrs: Any  # [n, 40]
 
     @property
     def n_leaves(self) -> int:

@@ -215,6 +215,53 @@ def sample_texture_planes(tex_planes, tex_hw, tex_id, u, v):
     return tuple(out)
 
 
+def sample_texture_rows(tex_flat, tex_hw, tex_id, u, v, hmax, wmax):
+    """Bilinear wrap sample via 4 row gathers from the flattened stack.
+
+    tex_flat: [T*hmax*wmax, 4] (= textures.reshape(-1, 4), a free
+    reshape).  One [R, 4] row gather per texel corner instead of 16
+    per-channel gathers — XLA TPU gathers pay per-op, not per-byte.
+    Returns a 4-tuple of [R] channels; tex_id -1 samples white.  Values
+    identical to sample_texture / sample_texture_planes.
+    """
+    tid = jnp.maximum(tex_id, 0)
+    h = tex_hw[tid, 0].astype(u.dtype)
+    w = tex_hw[tid, 1].astype(u.dtype)
+    uu = u - jnp.floor(u)
+    vv = v - jnp.floor(v)
+    x = uu * w - 0.5
+    y = vv * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    wi = w.astype(jnp.int32)
+    hi = h.astype(jnp.int32)
+    base = tid * (hmax * wmax)
+
+    def fetch(xi, yi):
+        flat = base + jnp.mod(yi.astype(jnp.int32), hi) * wmax + jnp.mod(
+            xi.astype(jnp.int32), wi
+        )
+        return tex_flat[flat]  # [R, 4]
+
+    r00 = fetch(x0, y0)
+    r10 = fetch(x0 + 1, y0)
+    r01 = fetch(x0, y0 + 1)
+    r11 = fetch(x0 + 1, y0 + 1)
+    has_tex = tex_id >= 0
+    out = []
+    for c in range(4):
+        col = (
+            r00[:, c] * (1 - fx) * (1 - fy)
+            + r10[:, c] * fx * (1 - fy)
+            + r01[:, c] * (1 - fx) * fy
+            + r11[:, c] * fx * fy
+        )
+        out.append(jnp.where(has_tex, col, jnp.ones_like(col)))
+    return tuple(out)
+
+
 def render_pixel3(materials, mat_id, tex_planes, tex_hw, u, v):
     """saturate(ambient + diffuse * texColor) per channel
     (reference: RayTraceRender.hlsl:16-29).  Returns a 4-tuple of [R]."""

@@ -93,6 +93,24 @@ def build_bvh(scene: Scene, wvp, wv, cfg: RenderConfig) -> BVH:
     tri_uv = scene.uv.astype(dtype)[face_idx]
     tri_mat = scene.mat_index[safe_prim]
 
+    # packed per-leaf shading table (see core/types.py BVH.leaf_attrs)
+    mats = scene.materials
+    cols = (
+        [tri_verts[:, v, k] for v in range(3) for k in range(3)]
+        + [tri_normals[:, v, k] for v in range(3) for k in range(3)]
+        + [tri_uv[:, v, k] for v in range(3) for k in range(2)]
+        + [mats.ambient.astype(dtype)[tri_mat][:, c] for c in range(4)]
+        + [mats.diffuse.astype(dtype)[tri_mat][:, c] for c in range(4)]
+        + [mats.specular.astype(dtype)[tri_mat][:, c] for c in range(4)]
+        + [
+            mats.shininess.astype(dtype)[tri_mat],
+            mats.optical_density.astype(dtype)[tri_mat],
+            mats.alpha.astype(dtype)[tri_mat],
+            mats.tex_id[tri_mat].astype(dtype),  # integer-valued float
+        ]
+    )
+    leaf_attrs = jnp.stack(cols, axis=-1)  # [n, 40]
+
     return BVH(
         codes=sorted_codes,
         prim=prim,
@@ -107,6 +125,7 @@ def build_bvh(scene: Scene, wvp, wv, cfg: RenderConfig) -> BVH:
         tri_normals=tri_normals,
         tri_uv=tri_uv,
         tri_mat=tri_mat,
+        leaf_attrs=leaf_attrs,
     )
 
 
@@ -150,22 +169,21 @@ def _traverse_ids(bvh: BVH, rays: Rays, cfg: RenderConfig) -> HitRecord:
     )
 
 
-def _gather3(table, axis_idx, leaf):
-    """(table[:, axis_idx, 0][leaf], ..[1][leaf], ..[2][leaf]) — three 1-D
-    gathers instead of one [R, 3] row gather (42x HBM padding; see
-    ops/traverse.py layout note)."""
-    return tuple(table[:, axis_idx, k][leaf] for k in range(3))
-
-
 def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord):
     """Differentiable re-evaluation of a hit: position, normal, surface
     color (renderPixel * specular — reference: RayTraceLaunch.hlsl:57-59)
-    and per-hit material scalars.  All per-ray values are 1-D component
-    arrays (structure-of-arrays; see ops/traverse.py layout note)."""
+    and per-hit material scalars.
+
+    ONE row gather fetches everything per ray (bvh.leaf_attrs [n, 40] —
+    XLA TPU gathers pay per-op, not per-byte: 30 per-channel gathers
+    measured 10x slower than a single packed row gather); all math then
+    runs on 1-D component slices (structure-of-arrays; see
+    ops/traverse.py layout note)."""
     leaf = rec.leaf
-    t0 = _gather3(bvh.tri_verts, 0, leaf)
-    t1 = _gather3(bvh.tri_verts, 1, leaf)
-    t2 = _gather3(bvh.tri_verts, 2, leaf)
+    a = bvh.leaf_attrs[leaf]  # [R, 40] — the one gather
+    t0 = (a[:, 0], a[:, 1], a[:, 2])
+    t1 = (a[:, 3], a[:, 4], a[:, 5])
+    t2 = (a[:, 6], a[:, 7], a[:, 8])
 
     # recompute the hit distance differentiably (traversal's is
     # stop-grad); op-for-op the moller_trumbore formula
@@ -190,34 +208,33 @@ def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord):
     hit_loc = tuple(o3[i] + d3[i] * t for i in range(3))
 
     w0, w1, w2 = shade_ops.barycentric_weights3(t0, t1, t2, hit_loc)
-    n0 = _gather3(bvh.tri_normals, 0, leaf)
-    n1 = _gather3(bvh.tri_normals, 1, leaf)
-    n2 = _gather3(bvh.tri_normals, 2, leaf)
+    n0 = (a[:, 9], a[:, 10], a[:, 11])
+    n1 = (a[:, 12], a[:, 13], a[:, 14])
+    n2 = (a[:, 15], a[:, 16], a[:, 17])
     normal = tuple(
         n0[i] * w0 + n1[i] * w1 + n2[i] * w2 for i in range(3)
     )
-    uvu = (
-        bvh.tri_uv[:, 0, 0][leaf] * w0
-        + bvh.tri_uv[:, 1, 0][leaf] * w1
-        + bvh.tri_uv[:, 2, 0][leaf] * w2
-    )
-    uvv = (
-        bvh.tri_uv[:, 0, 1][leaf] * w0
-        + bvh.tri_uv[:, 1, 1][leaf] * w1
-        + bvh.tri_uv[:, 2, 1][leaf] * w2
-    )
+    uvu = a[:, 18] * w0 + a[:, 20] * w1 + a[:, 22] * w2
+    uvv = a[:, 19] * w0 + a[:, 21] * w1 + a[:, 23] * w2
 
-    mat_id = bvh.tri_mat[leaf]
-    tex_planes = tuple(scene.textures[..., c] for c in range(4))
-    base = shade_ops.render_pixel3(
-        scene.materials, mat_id, tex_planes, scene.tex_hw, uvu, uvv
+    # texture sample (reference: RayTraceRender.hlsl:24-26); tex_id rides
+    # channel 39 as an integer-valued float
+    tex_id = a[:, 39].astype(jnp.int32)
+    hmax, wmax = scene.textures.shape[1], scene.textures.shape[2]
+    tex = shade_ops.sample_texture_rows(
+        scene.textures.reshape(-1, 4), scene.tex_hw, tex_id, uvu, uvv,
+        hmax, wmax,
     )
+    # saturate(ambient + diffuse * tex) * specular
+    # (reference: RayTraceRender.hlsl:16-29, RayTraceLaunch.hlsl:57-59)
     color = tuple(
-        base[c] * scene.materials.specular[:, c][mat_id] for c in range(4)
+        jnp.clip(a[:, 24 + c] + a[:, 28 + c] * tex[c], 0.0, 1.0)
+        * a[:, 32 + c]
+        for c in range(4)
     )
-    shininess = scene.materials.shininess[mat_id]
-    alpha = scene.materials.alpha[mat_id]
-    optical = scene.materials.optical_density[mat_id]
+    shininess = a[:, 36]
+    optical = a[:, 37]
+    alpha = a[:, 38]
     return hit_loc, normal, color, shininess, alpha, optical
 
 
