@@ -48,6 +48,8 @@ def main():
         width=width,
         height=height,
         bounces=bounces,
+        # traversal_backend="auto" -> pallas megakernel on TPU;
+        # traversal_chunk only matters for the jnp fallback path
         traversal_chunk=129600,  # 1920*1080 / 16
     )
     cam = Camera.default()
