@@ -7,6 +7,7 @@ material colors and textures (a capability the reference does not have).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -257,6 +258,79 @@ def sample_texture_rows(tex_flat, tex_hw, tex_id, u, v, hmax, wmax):
             + r10[:, c] * fx * (1 - fy)
             + r01[:, c] * (1 - fx) * fy
             + r11[:, c] * fx * fy
+        )
+        out.append(jnp.where(has_tex, col, jnp.ones_like(col)))
+    return tuple(out)
+
+
+def pack_texture_quads(textures, tex_hw):
+    """[T, H, W, 4] -> [T*H*W, 16] where row (t, y, x) holds the 2x2
+    wrap-neighborhood {(y,x), (y,x+1), (y+1,x), (y+1,x+1)} RGBA-major.
+
+    Bilinear sampling then needs ONE [R, 16] row gather per sample instead
+    of four corner gathers (XLA TPU gathers pay per-op, not per-byte:
+    measured 8.2 ms per [R, 4] row gather at R = 2M, so 4 corners cost
+    33 ms/pass; one quad row gather costs ~the same 8 ms total).  The pack
+    itself is rolls + a reshape — bandwidth-trivial, differentiable
+    (texture training grads flow through it), and done once per frame.
+
+    Textures smaller than the padded stack wrap at their TRUE size
+    (tex_hw), so before rolling, each texture's wrap column/row is copied
+    into the first padding column/row; a texture filling the stack wraps
+    via the roll itself."""
+    t, h, w, c = textures.shape
+    ht = tex_hw[:, 0].astype(jnp.int32)[:, None, None, None]
+    wt = tex_hw[:, 1].astype(jnp.int32)[:, None, None, None]
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, h, w, c), 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, h, w, c), 1)
+    # column w_t := column 0, then row h_t := (column-fixed) row 0 — the
+    # second copy also lands the (h_t, w_t) corner texel
+    fixed = jnp.where(col == wt, textures[:, :, 0:1, :], textures)
+    fixed = jnp.where(row == ht, fixed[:, 0:1, :, :], fixed)
+    x1 = jnp.roll(fixed, -1, axis=2)
+    y1 = jnp.roll(fixed, -1, axis=1)
+    xy1 = jnp.roll(x1, -1, axis=1)
+    quads = jnp.concatenate([fixed, x1, y1, xy1], axis=-1)  # [T,H,W,16]
+    return quads.reshape(t * h * w, 4 * c)
+
+
+def sample_texture_quads(tex_quads, tex_hw, tex_id, u, v, hmax, wmax):
+    """Bilinear wrap sample via ONE row gather from pack_texture_quads.
+
+    Semantics identical to sample_texture_rows (DirectX SampleLevel-0 with
+    wrap addressing, reference: RayTraceRender.hlsl:24-26, sampler
+    Image.cpp:154-169); tex_id -1 samples white.  The u-floor(u) wrap puts
+    x0 = floor(u*w - .5) in [-1, w-1], so wrap needs only a select, not an
+    integer mod (mod is several VPU ops; select is one)."""
+    tid = jnp.maximum(tex_id, 0)
+    h = tex_hw[tid, 0].astype(u.dtype)
+    w = tex_hw[tid, 1].astype(u.dtype)
+    uu = u - jnp.floor(u)
+    vv = v - jnp.floor(v)
+    x = uu * w - 0.5
+    y = vv * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+    xi = jnp.where(xi < 0, xi + w.astype(jnp.int32), xi)
+    yi = jnp.where(yi < 0, yi + h.astype(jnp.int32), yi)
+    flat = (tid * hmax + yi) * wmax + xi
+    q = tex_quads[flat]  # [R, 16] — the one gather
+    w00 = (1 - fx) * (1 - fy)
+    w10 = fx * (1 - fy)
+    w01 = (1 - fx) * fy
+    w11 = fx * fy
+    has_tex = tex_id >= 0
+    out = []
+    for c in range(4):
+        col = (
+            q[:, c] * w00
+            + q[:, 4 + c] * w10
+            + q[:, 8 + c] * w01
+            + q[:, 12 + c] * w11
         )
         out.append(jnp.where(has_tex, col, jnp.ones_like(col)))
     return tuple(out)

@@ -175,7 +175,8 @@ def _traverse_ids(bvh: BVH, rays: Rays, cfg: RenderConfig) -> HitRecord:
     )
 
 
-def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord):
+def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord,
+                   tex_quads=None):
     """Differentiable re-evaluation of a hit: position, normal, surface
     color (renderPixel * specular — reference: RayTraceLaunch.hlsl:57-59)
     and per-hit material scalars.
@@ -227,9 +228,10 @@ def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord):
     # channel 39 as an integer-valued float
     tex_id = a[:, 39].astype(jnp.int32)
     hmax, wmax = scene.textures.shape[1], scene.textures.shape[2]
-    tex = shade_ops.sample_texture_rows(
-        scene.textures.reshape(-1, 4), scene.tex_hw, tex_id, uvu, uvv,
-        hmax, wmax,
+    if tex_quads is None:
+        tex_quads = shade_ops.pack_texture_quads(scene.textures, scene.tex_hw)
+    tex = shade_ops.sample_texture_quads(
+        tex_quads, scene.tex_hw, tex_id, uvu, uvv, hmax, wmax
     )
     # saturate(ambient + diffuse * tex) * specular
     # (reference: RayTraceRender.hlsl:16-29, RayTraceLaunch.hlsl:57-59)
@@ -256,7 +258,8 @@ def _split_rays(rays: Rays):
     return tuple(o[:, k] for k in range(3)), tuple(d[:, k] for k in range(3))
 
 
-def _launch_soa(scene: Scene, bvh: BVH, o3, d3, cfg: RenderConfig):
+def _launch_soa(scene: Scene, bvh: BVH, o3, d3, cfg: RenderConfig,
+                tex_quads=None):
     """Primary-ray pass (reference: RayTraceLaunch.hlsl), SoA form.
 
     Returns (color4, (refl_o3, refl_d3), refl_intensity,
@@ -270,7 +273,7 @@ def _launch_soa(scene: Scene, bvh: BVH, o3, d3, cfg: RenderConfig):
     """
     rec = _traverse_ids(bvh, _rays_of(o3, d3), cfg)
     hit_loc, normal, hit_color, shininess, alpha, optical = _shade_hit_soa(
-        scene, bvh, o3, d3, rec
+        scene, bvh, o3, d3, rec, tex_quads
     )
     hit = rec.hit
 
@@ -323,7 +326,7 @@ def launch(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
 
 
 def _bounce_soa(scene: Scene, bvh: BVH, color, o3, d3, intensity,
-                cfg: RenderConfig):
+                cfg: RenderConfig, tex_quads=None):
     """One reflection pass (reference: RayTraceReflection.hlsl), SoA form.
 
     Live rays (intensity > INTENSITY_MIN) re-trace; hits lerp the carried
@@ -338,7 +341,7 @@ def _bounce_soa(scene: Scene, bvh: BVH, color, o3, d3, intensity,
     o3m = tuple(jnp.where(live, o3[i], 1.0e30) for i in range(3))
     rec = _traverse_ids(bvh, _rays_of(o3m, d3), cfg)
     hit_loc, normal, hit_color, shininess, _, _ = _shade_hit_soa(
-        scene, bvh, o3, d3, rec
+        scene, bvh, o3, d3, rec, tex_quads
     )
     hit = rec.hit & live
 
@@ -367,7 +370,7 @@ def _bounce_soa(scene: Scene, bvh: BVH, color, o3, d3, intensity,
 
 
 def _bounce_refract_soa(scene: Scene, bvh: BVH, color, o3, d3, intensity,
-                        cfg: RenderConfig):
+                        cfg: RenderConfig, tex_quads=None):
     """One refraction (transmission) pass — the dispatch the reference
     stubbed out (Graphics.cpp:805-809).  Mirrors ``_bounce_soa`` but
     continues *through* surfaces: same color lerp, intensity decays by the
@@ -378,7 +381,7 @@ def _bounce_refract_soa(scene: Scene, bvh: BVH, color, o3, d3, intensity,
     o3m = tuple(jnp.where(live, o3[i], 1.0e30) for i in range(3))
     rec = _traverse_ids(bvh, _rays_of(o3m, d3), cfg)
     hit_loc, normal, hit_color, _, alpha, optical = _shade_hit_soa(
-        scene, bvh, o3, d3, rec
+        scene, bvh, o3, d3, rec, tex_quads
     )
     hit = rec.hit & live
 
@@ -460,13 +463,16 @@ def _shade_rays_one(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
     Internally pure structure-of-arrays; the only [R, 4] array is the
     final stacked color."""
     o3, d3 = _split_rays(rays)
+    # one quad table per frame, shared by every pass (see
+    # ops/shade.pack_texture_quads)
+    tex_quads = shade_ops.pack_texture_quads(scene.textures, scene.tex_hw)
     color, refl, intensity, refr, refr_int = _launch_soa(
-        scene, bvh, o3, d3, cfg
+        scene, bvh, o3, d3, cfg, tex_quads
     )
     ro, rd = refl
     for _ in range(cfg.bounces):
         color, ro, rd, intensity = _bounce_soa(
-            scene, bvh, color, ro, rd, intensity, cfg
+            scene, bvh, color, ro, rd, intensity, cfg, tex_quads
         )
     if cfg.enable_refraction:
         # the refraction chain starts from a white carrier color
@@ -484,7 +490,7 @@ def _shade_rays_one(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
         rcolor = tuple(jnp.ones_like(color[c]) for c in range(4))
         for _ in range(cfg.bounces):
             rcolor, qo, qd, chain_int = _bounce_refract_soa(
-                scene, bvh, rcolor, qo, qd, chain_int, cfg
+                scene, bvh, rcolor, qo, qd, chain_int, cfg, tex_quads
             )
         color = tuple(
             color[c] + w0 * (rcolor[c] - color[c]) for c in range(4)
