@@ -5,9 +5,9 @@ shaders per pass (block-local Blelloch scan + cross-group serial scan and
 scatter; reference: RadixSortP1.hlsl, RadixSortP2.hlsl, dispatched 32x from
 Graphics.cpp:735-754).  On TPU the idiomatic primitive is a single fused
 stable sort: XLA's ``lax.sort`` is already a highly tuned on-chip bitonic
-network, so the 32 round trips through HBM collapse into one op.  A Pallas
-radix-sort backend (the reference's algorithm, kept on-chip) lives in
-``sort_pallas.py`` for large leaf counts.
+network, so the 32 round trips through HBM collapse into one op.
+``radix_sort_by_code`` below keeps the reference's pass-for-pass algorithm
+as a parity backend / semantic spec.
 """
 
 from __future__ import annotations
@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 
-def sort_by_code(codes, num_valid=None):
+def sort_by_code(codes):
     """Stable-sort ``codes`` ascending; returns (sorted_codes, order).
 
     ``order[k]`` is the pre-sort leaf index that landed at slot ``k`` —
