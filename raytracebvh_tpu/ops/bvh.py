@@ -5,17 +5,24 @@ The reference builds the hierarchy with one thread per internal node
 and fits AABBs bottom-up with global atomics gating a per-node climb
 (reference: BVHConstructP2.hlsl:11-36, self-described "HIGHLY DIVERGENT").
 
-TPU-native re-design:
+TPU-native re-design (round 2: the whole build is loop-free in tree depth):
   * The Karras searches are vectorized over *all* internal nodes at once;
     the exponential/binary searches become fixed-trip-count ``fori_loop``s
     over gather + select — no divergence, no scalar threads.
-  * The AABB fit replaces atomics (which TPUs don't do cheaply) with
-    level-synchronous rounds: every internal node whose two children are
-    ready unions their boxes; one tree level settles per round, so the
-    loop runs depth(T) times and terminates when the root settles.
-  * A third pass computes *skip links* for stackless traversal (see
-    core/types.py BVH docstring), replacing the reference's per-thread
-    32-entry stack (reference: RayTraceTraversal.hlsl:9,114-117).
+  * Karras internal nodes cover *contiguous leaf ranges* [lo, hi] — the
+    searches compute them anyway.  That makes the AABB fit a batch of
+    range-min/max queries: build a sparse table (log2(n) rounds of
+    shifted elementwise min — no gathers, no sequential tree-depth loop),
+    then answer every internal node with TWO row gathers.  This replaces
+    both the reference's atomic climb (BVHConstructP2.hlsl:11-36) and
+    round 1's O(depth) level-synchronous ``while_loop``.
+  * Skip links have a closed form in range space: the next subtree after
+    node x in left-first DFS order is the *topmost* node whose range
+    starts at hi(x)+1, and that node is always some parent's right child
+    — so one scatter (right child -> its range start) plus one gather
+    computes every link.  No loop.  (Threading equals the order the
+    reference's stack traversal visits: RayTraceTraversal.hlsl:184-191
+    pushes right, descends left.)
 
 Node ids: leaf k in [0,n), internal i stored at id n+i, root = n
 (reference numbering: BVHConstructP1.hlsl:152-163,178-187).
@@ -24,11 +31,27 @@ Node ids: leaf k in [0,n), internal i stored at id n+i, root = n
 from __future__ import annotations
 
 import math
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 BIG = 1.0e30  # empty-box sentinel: bbmin=+BIG, bbmax=-BIG (union identity)
+
+
+class Topology(NamedTuple):
+    """Tree topology arrays, all sized [2n] (slot 2n-1 unused).
+
+    ``node_lo``/``node_hi`` are the contiguous leaf ranges each node
+    covers (leaf k covers [k, k]); they drive the AABB fit and the link
+    computation and are kept on the BVH for tests/debug.
+    """
+
+    child_l: Any  # int32, -1 for leaves
+    child_r: Any  # int32, -1 for leaves
+    parent: Any  # int32, -1 at root
+    node_lo: Any  # int32 first leaf of the node's range
+    node_hi: Any  # int32 last leaf of the node's range
 
 
 def _clz32(x):
@@ -57,15 +80,18 @@ def make_delta(codes):
 
 
 def karras_children(codes):
-    """Children of every internal node, vectorized Karras emit.
+    """Children and leaf ranges of every internal node (Karras emit).
 
     Args:
       codes: [n] uint32 *sorted* morton codes (duplicates allowed; the
         index tie-break makes keys effectively distinct).
 
     Returns:
-      (child_l, child_r): [n-1] int32 node ids (leaf ids < n, internal
-      ids >= n), matching reference BVHConstructP1.hlsl:152-163.
+      (child_l, child_r, lo, hi): [n-1] int32 each.  Children are node
+      ids (leaf ids < n, internal ids >= n), matching reference
+      BVHConstructP1.hlsl:152-163; [lo, hi] is the contiguous sorted-leaf
+      range internal node i covers (lo = min(i, j), hi = max(i, j) in the
+      paper's terms).
     """
     n = codes.shape[0]
     assert n >= 2, "karras_children needs at least 2 leaves"
@@ -128,18 +154,17 @@ def karras_children(codes):
     hi = jnp.maximum(i, j)
     child_l = jnp.where(lo == gamma, gamma, gamma + n).astype(jnp.int32)
     child_r = jnp.where(hi == gamma + 1, gamma + 1, gamma + 1 + n).astype(jnp.int32)
-    return child_l, child_r
+    return child_l, child_r, lo, hi
 
 
-def build_topology(codes):
-    """Full tree topology arrays sized [2n] (slot 2n-1 unused).
+def build_topology(codes) -> Topology:
+    """Full tree topology, arrays sized [2n] (slot 2n-1 unused).
 
-    Returns (child_l, child_r, parent); parent[root] = -1
-    (reference: BVHConstructP1.hlsl:174-187 sets children, parents, and the
-    root parent to UINT_MAX).
+    parent[root] = -1 (reference: BVHConstructP1.hlsl:174-187 sets
+    children, parents, and the root parent to UINT_MAX).
     """
     n = codes.shape[0]
-    cl, cr = karras_children(codes)
+    cl, cr, lo, hi = karras_children(codes)
     ids = jnp.arange(n - 1, dtype=jnp.int32) + n
     child_l = jnp.full(2 * n, -1, jnp.int32).at[ids].set(cl)
     child_r = jnp.full(2 * n, -1, jnp.int32).at[ids].set(cr)
@@ -147,26 +172,77 @@ def build_topology(codes):
     parent = parent.at[cl].set(ids)
     parent = parent.at[cr].set(ids)
     parent = parent.at[n].set(-1)  # root
-    return child_l, child_r, parent
+    leaf_ids = jnp.arange(n, dtype=jnp.int32)
+    node_lo = jnp.concatenate([leaf_ids, lo, jnp.zeros(1, jnp.int32)])
+    node_hi = jnp.concatenate([leaf_ids, hi, jnp.zeros(1, jnp.int32)])
+    return Topology(child_l, child_r, parent, node_lo, node_hi)
 
 
-def fit_aabbs(child_l, child_r, leaf_bbmin, leaf_bbmax):
-    """Bottom-up AABB fit, level-synchronous (no atomics).
+def fit_aabbs(node_lo, node_hi, leaf_bbmin, leaf_bbmax):
+    """AABB fit as batched range-min/max queries over the leaf ranges.
 
     Replaces the reference's InterlockedAdd-gated climb
-    (BVHConstructP2.hlsl:11-36).  Each round, every internal node whose two
-    children are settled takes the union of their boxes
-    (minUnion/maxUnion semantics, RayTraceGlobal.hlsl:132-142); the loop
-    ends when the root settles, i.e. after depth(T) rounds.
+    (BVHConstructP2.hlsl:11-36) — and, unlike a level-synchronous sweep,
+    has NO sequential dependence on tree depth: a sparse table of
+    power-of-two range minima is built in ceil(log2(n)) rounds of shifted
+    elementwise mins (pure VPU, no gathers), then every internal node is
+    answered with two row gathers (RMQ: min of the two 2^k blocks
+    covering [lo, hi]).  Max queries ride along negated so one table
+    serves all six channels.
 
-    Returns (bbmin, bbmax): [2n, 3].
+    Args:
+      node_lo/node_hi: [2n] leaf ranges from ``build_topology``.
+      leaf_bbmin/leaf_bbmax: [n, 3] leaf boxes in sorted (morton) order.
+
+    Returns (bbmin, bbmax): [2n, 3]; box union = min/max of the range
+    (minUnion/maxUnion semantics, RayTraceGlobal.hlsl:132-142).
+    """
+    n = leaf_bbmin.shape[0]
+    dt = leaf_bbmin.dtype
+    levels = max(1, int(math.ceil(math.log2(n))))
+
+    # level 0: (minx,miny,minz,-maxx,-maxy,-maxz) so everything is a min
+    tbl0 = jnp.concatenate([leaf_bbmin, -leaf_bbmax], axis=1)  # [n, 6]
+    tables = [tbl0]
+    for k in range(1, levels + 1):
+        prev = tables[-1]
+        s = 1 << (k - 1)
+        shifted = jnp.concatenate(
+            [prev[s:], jnp.full((s, 6), BIG, dt)], axis=0
+        )
+        tables.append(jnp.minimum(prev, shifted))
+    stacked = jnp.concatenate(tables, axis=0)  # [(levels+1)*n, 6]
+
+    lo = node_lo[n:-1]
+    hi = node_hi[n:-1]
+    length = hi - lo + 1  # >= 2 for internal nodes
+    k = 31 - _clz32(length)
+    a = stacked[k * n + lo]  # [n-1, 6]
+    b = stacked[k * n + hi + 1 - (1 << k)]
+    m = jnp.minimum(a, b)
+
+    bbmin = jnp.concatenate(
+        [leaf_bbmin, m[:, :3], jnp.full((1, 3), BIG, dt)]
+    )
+    bbmax = jnp.concatenate(
+        [leaf_bbmax, -m[:, 3:], jnp.full((1, 3), -BIG, dt)]
+    )
+    return bbmin, bbmax
+
+
+def fit_aabbs_levelsync(child_l, child_r, leaf_bbmin, leaf_bbmax):
+    """Round-1 level-synchronous AABB fit, kept as an independent parity
+    reference for ``fit_aabbs`` (tests assert they agree).
+
+    Each round, every internal node whose two children are settled takes
+    the union of their boxes; one tree level settles per round, so the
+    loop runs depth(T) times — the direct de-atomic-ized analog of the
+    reference's climb (BVHConstructP2.hlsl:11-36).
     """
     n = leaf_bbmin.shape[0]
     two_n = 2 * n
     is_internal = (jnp.arange(two_n) >= n) & (jnp.arange(two_n) < two_n - 1)
 
-    # 1-D component arrays in the loop (SoA; see ops/traverse.py layout
-    # note — [2n, 3] gathers pad 42x under TPU tiling)
     dt = leaf_bbmin.dtype
     mins = tuple(
         jnp.full(two_n, BIG, dt).at[:n].set(leaf_bbmin[:, k]) for k in range(3)
@@ -201,25 +277,48 @@ def fit_aabbs(child_l, child_r, leaf_bbmin, leaf_bbmax):
     return jnp.stack(mins, axis=-1), jnp.stack(maxs, axis=-1)
 
 
-def compute_links(child_l, child_r, parent, n):
-    """Skip links for stackless traversal (top-down, level-synchronous).
+def compute_links(topo: Topology, n: int):
+    """Skip links for stackless traversal — closed form, no loop.
 
     skip(root) = -1; skip(left child of p) = right child of p;
-    skip(right child of p) = skip(p).  This threads the tree in the same
-    left-first depth-first order the reference's stack traversal visits
-    (reference: RayTraceTraversal.hlsl:184-191 pushes right, descends left).
+    skip(right child of p) = skip(p).  In leaf-range terms that chain
+    collapses to: skip(x) = the TOPMOST node whose range starts at
+    hi(x)+1 (or -1 when hi(x) is the last leaf).  The topmost node
+    starting at any position s > 0 is always the unique *right child*
+    whose range starts there, so one scatter of every right child to its
+    range start plus one gather by hi+1 yields every link.  This threads
+    the tree in the same left-first depth-first order the reference's
+    stack traversal visits (reference: RayTraceTraversal.hlsl:184-191
+    pushes right, descends left).
 
     Returns (entry_link, skip_link): [2n] int32; entry_link = left child
     for internal nodes, = skip for leaves.
     """
     two_n = 2 * n
     ids = jnp.arange(two_n, dtype=jnp.int32)
+
+    cr = topo.child_r[n:-1]  # right child of each internal node
+    cr_start = topo.node_lo[cr]  # where its range starts
+    # topmost node starting at s: default = leaf s (covers the case where
+    # no internal node starts at s; queried positions always have a
+    # right-child writer, see docstring)
+    topmost = jnp.arange(n, dtype=jnp.int32).at[cr_start].set(cr)
+
+    nxt = jnp.minimum(topo.node_hi + 1, n - 1)
+    skip = jnp.where(topo.node_hi >= n - 1, -1, topmost[nxt])
+    entry = jnp.where(ids < n, skip, topo.child_l)
+    return entry, skip
+
+
+def compute_links_levelsync(child_l, child_r, parent, n):
+    """Round-1 top-down level-synchronous link computation, kept as an
+    independent parity reference for ``compute_links``."""
+    two_n = 2 * n
+    ids = jnp.arange(two_n, dtype=jnp.int32)
     has_parent = parent >= 0
     p = jnp.maximum(parent, 0)
 
     skip = jnp.full(two_n, -1, jnp.int32)
-    # root settles immediately; the unused slot 2n-1 and any orphan are
-    # marked settled so the loop terminates.
     settled = ~has_parent
 
     def cond(state):

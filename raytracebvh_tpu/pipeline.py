@@ -80,9 +80,10 @@ def build_bvh(scene: Scene, wvp, wv, cfg: RenderConfig) -> BVH:
     lmin = lmin[order]
     lmax = lmax[order]
 
-    child_l, child_r, parent = bvh_ops.build_topology(sorted_codes)
-    bbmin, bbmax = bvh_ops.fit_aabbs(child_l, child_r, lmin, lmax)
-    entry, skip = bvh_ops.compute_links(child_l, child_r, parent, n)
+    topo = bvh_ops.build_topology(sorted_codes)
+    bbmin, bbmax = bvh_ops.fit_aabbs(topo.node_lo, topo.node_hi, lmin, lmax)
+    entry, skip = bvh_ops.compute_links(topo, n)
+    child_l, child_r, parent = topo.child_l, topo.child_r, topo.parent
 
     # gather leaf triangle data into morton order ONCE (fixes quirk Q7,
     # the reference's per-leaf-visit WVP transform)

@@ -96,15 +96,15 @@ def stage_times(scene, camera, cfg, iters: int = 5) -> Dict[str, float]:
     out["sort"] = _timed(f_sort, codes, iters=iters)
 
     f_topo = jax.jit(bvh_ops.build_topology)
-    cl, cr, parent = f_topo(sorted_codes)
+    topo = f_topo(sorted_codes)
     out["topology"] = _timed(f_topo, sorted_codes, iters=iters)
 
     f_fit = jax.jit(bvh_ops.fit_aabbs)
-    out["fit"] = _timed(f_fit, cl, cr, lmin, lmax, iters=iters)
+    out["fit"] = _timed(f_fit, topo.node_lo, topo.node_hi, lmin, lmax,
+                        iters=iters)
 
-    f_links = jax.jit(lambda cl, cr, p: bvh_ops.compute_links(
-        cl, cr, p, lmin.shape[0]))
-    out["links"] = _timed(f_links, cl, cr, parent, iters=iters)
+    f_links = jax.jit(lambda t: bvh_ops.compute_links(t, lmin.shape[0]))
+    out["links"] = _timed(f_links, topo, iters=iters)
 
     f_build = jax.jit(lambda s: build_bvh(s, wvp, wv, cfg))
     bvh = f_build(scene)

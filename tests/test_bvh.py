@@ -4,7 +4,8 @@ The reference validates its builder with printouts on random leaves and the
 Karras-paper example tree (reference: CPUTests/BVHConstructTest,
 CPUTests/RadixBVHCombo); these tests assert the same properties
 mechanically: sortedness, binary-radix-tree structure, contiguous leaf
-ranges, box containment, and DFS skip-link coverage.
+ranges, box containment, and DFS skip-link coverage — plus parity between
+the loop-free fit/links and their round-1 level-synchronous references.
 """
 
 import jax.numpy as jnp
@@ -18,13 +19,14 @@ from raytracebvh_tpu.ops import sort as sort_ops
 def build_all(codes_np):
     codes = jnp.asarray(codes_np, jnp.uint32)
     sorted_codes, order = sort_ops.sort_by_code(codes)
-    cl, cr, parent = bvh_ops.build_topology(sorted_codes)
+    topo = bvh_ops.build_topology(sorted_codes)
     return (
         np.asarray(sorted_codes),
         np.asarray(order),
-        np.asarray(cl),
-        np.asarray(cr),
-        np.asarray(parent),
+        np.asarray(topo.child_l),
+        np.asarray(topo.child_r),
+        np.asarray(topo.parent),
+        topo,
     )
 
 
@@ -44,7 +46,7 @@ def leaves_of(cl, cr, n, node):
 def test_tree_structure(n, seed):
     rng = np.random.default_rng(seed)
     codes = rng.integers(0, 1 << 30, n).astype(np.uint32)
-    sorted_codes, order, cl, cr, parent = build_all(codes)
+    sorted_codes, order, cl, cr, parent, topo = build_all(codes)
 
     assert np.all(np.diff(sorted_codes.astype(np.int64)) >= 0)
 
@@ -61,10 +63,14 @@ def test_tree_structure(n, seed):
     rng_leaves = leaves_of(cl, cr, n, n)
     assert rng_leaves == list(range(n))
 
-    # each internal node covers a contiguous leaf range split at gamma
+    # each internal node covers a contiguous leaf range split at gamma,
+    # and node_lo/node_hi record exactly that range
+    node_lo = np.asarray(topo.node_lo)
+    node_hi = np.asarray(topo.node_hi)
     for i in range(n, min(2 * n - 1, n + 200)):
         ls = leaves_of(cl, cr, n, i)
         assert ls == list(range(ls[0], ls[-1] + 1))
+        assert node_lo[i] == ls[0] and node_hi[i] == ls[-1]
 
 
 def test_duplicate_codes():
@@ -72,8 +78,40 @@ def test_duplicate_codes():
     # (reference: BVHConstructP1.hlsl:61-72)
     n = 64
     codes = np.full(n, 12345, np.uint32)
-    _, _, cl, cr, parent = build_all(codes)
+    _, _, cl, cr, parent, _ = build_all(codes)
     assert leaves_of(cl, cr, n, n) == list(range(n))
+
+
+@pytest.mark.parametrize("n,seed", [(512, 4), (1000, 5), (4096, 6)])
+def test_fit_links_match_levelsync(n, seed):
+    """The loop-free RMQ fit and closed-form links must agree with the
+    round-1 level-synchronous implementations on random trees."""
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 1 << 30, n).astype(np.uint32)
+    lmin = rng.uniform(-10, 0, (n, 3)).astype(np.float32)
+    lmax = lmin + rng.uniform(0, 5, (n, 3)).astype(np.float32)
+
+    sorted_codes, order = sort_ops.sort_by_code(jnp.asarray(codes))
+    topo = bvh_ops.build_topology(sorted_codes)
+    lmin_s = jnp.asarray(lmin)[order]
+    lmax_s = jnp.asarray(lmax)[order]
+
+    bbmin, bbmax = bvh_ops.fit_aabbs(topo.node_lo, topo.node_hi, lmin_s, lmax_s)
+    bbmin_ref, bbmax_ref = bvh_ops.fit_aabbs_levelsync(
+        topo.child_l, topo.child_r, lmin_s, lmax_s
+    )
+    # level-sync leaves the unused slot at the union identity; RMQ too
+    np.testing.assert_array_equal(np.asarray(bbmin), np.asarray(bbmin_ref))
+    np.testing.assert_array_equal(np.asarray(bbmax), np.asarray(bbmax_ref))
+
+    entry, skip = bvh_ops.compute_links(topo, n)
+    entry_ref, skip_ref = bvh_ops.compute_links_levelsync(
+        topo.child_l, topo.child_r, topo.parent, n
+    )
+    np.testing.assert_array_equal(np.asarray(skip)[: 2 * n - 1],
+                                  np.asarray(skip_ref)[: 2 * n - 1])
+    np.testing.assert_array_equal(np.asarray(entry)[: 2 * n - 1],
+                                  np.asarray(entry_ref)[: 2 * n - 1])
 
 
 def test_aabb_fit_and_links():
@@ -85,11 +123,13 @@ def test_aabb_fit_and_links():
 
     codes_j = jnp.asarray(codes)
     sorted_codes, order = sort_ops.sort_by_code(codes_j)
-    cl, cr, parent = bvh_ops.build_topology(sorted_codes)
+    topo = bvh_ops.build_topology(sorted_codes)
+    cl, cr = topo.child_l, topo.child_r
     bbmin, bbmax = bvh_ops.fit_aabbs(
-        cl, cr, jnp.asarray(lmin)[order], jnp.asarray(lmax)[order]
+        topo.node_lo, topo.node_hi,
+        jnp.asarray(lmin)[order], jnp.asarray(lmax)[order]
     )
-    entry, skip = bvh_ops.compute_links(cl, cr, parent, n)
+    entry, skip = bvh_ops.compute_links(topo, n)
     bbmin, bbmax = np.asarray(bbmin), np.asarray(bbmax)
     cl_np, cr_np = np.asarray(cl), np.asarray(cr)
 
@@ -127,7 +167,7 @@ def test_karras_paper_example():
     main.cpp:259-265): sorted keys 00001,00010,00100,00101,10011,11000,
     11001,11110 -> root splits between leaf 3 and 4."""
     codes = np.array([1, 2, 4, 5, 19, 24, 25, 30], np.uint32)
-    _, _, cl, cr, parent = build_all(codes)
+    _, _, cl, cr, parent, _ = build_all(codes)
     n = 8
     root_l = leaves_of(cl, cr, n, cl[n])
     root_r = leaves_of(cl, cr, n, cr[n])
