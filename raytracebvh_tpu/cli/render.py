@@ -35,6 +35,12 @@ def main(argv=None):
     p.add_argument("--refract", action="store_true",
                    help="enable the refraction pass (the dispatch the "
                         "reference stubbed out, Graphics.cpp:805-809)")
+    p.add_argument("--shadows", action="store_true",
+                   help="fire shadow rays at --light from primary hits "
+                        "(BASELINE.md config 3; beyond the reference)")
+    p.add_argument("--light", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"),
+                   help="world-space light position for --shadows")
     args = p.parse_args(argv)
 
     import os
@@ -62,6 +68,8 @@ def main(argv=None):
         camera_mode=args.camera,
         traversal_backend=args.backend,
         enable_refraction=args.refract,
+        enable_shadows=args.shadows,
+        **(dict(light_pos=tuple(args.light)) if args.light else {}),
     )
     cam = Camera.default()
 

@@ -57,6 +57,17 @@ class RenderConfig:
     height: int = 800
     bounces: int = 3
     enable_refraction: bool = False
+    # Shadow rays (BASELINE.md config 3) — a capability beyond the
+    # reference, which has no lights at all (its shading is
+    # ambient + diffuse*tex, RayTraceRender.hlsl:16-29).  When enabled,
+    # every primary hit fires one occlusion ray at ``light_pos`` (world
+    # space; transformed like the geometry in 'reference' camera mode)
+    # via any-hit traversal, and the diffuse term is scaled by
+    # ``shadow_factor`` when occluded.  Occlusion is discrete
+    # (stop-gradient), like hit ids.
+    enable_shadows: bool = False
+    light_pos: Tuple[float, float, float] = (0.0, 60.0, -60.0)
+    shadow_factor: float = 0.35
     epsilon: float = 0.01
     ray_offset: float = 0.001
     bounce_ray_offset: float = 0.0001

@@ -59,10 +59,22 @@ def triangle_leaves(verts_t, indices, scene_min, scene_max):
     Returns:
       codes [nf] uint32, bbmin [nf,3], bbmax [nf,3], centroid [nf,3].
     """
-    tri = verts_t[indices].reshape(-1, 3, 3)  # [nf, 3, 3]
-    bbmin = jnp.min(tri, axis=1)
-    bbmax = jnp.max(tri, axis=1)
-    centroid = jnp.mean(tri, axis=1)
+    # SoA component gathers: one [nf*3] 1-D gather per coordinate.  The
+    # obvious verts_t[indices] row gather ([nf*3, 3], minor dim 3) is the
+    # slow path on TPU — measured 26.5 ms vs sub-ms for the 1-D form at
+    # nf = 3072, plus a 3-minute XLA compile.
+    fx = verts_t[:, 0][indices].reshape(-1, 3)  # [nf, 3]
+    fy = verts_t[:, 1][indices].reshape(-1, 3)
+    fz = verts_t[:, 2][indices].reshape(-1, 3)
+    bbmin = jnp.stack(
+        [jnp.min(fx, axis=1), jnp.min(fy, axis=1), jnp.min(fz, axis=1)], -1
+    )
+    bbmax = jnp.stack(
+        [jnp.max(fx, axis=1), jnp.max(fy, axis=1), jnp.max(fz, axis=1)], -1
+    )
+    centroid = jnp.stack(
+        [jnp.mean(fx, axis=1), jnp.mean(fy, axis=1), jnp.mean(fz, axis=1)], -1
+    )
     unit = (centroid - scene_min) / (scene_max - scene_min)
     codes = morton_code(unit)
     return codes, bbmin, bbmax, centroid

@@ -196,3 +196,107 @@ def traverse(bvh: BVH, rays: Rays, epsilon: float, max_steps: int = 0) -> HitRec
     )
     _, hit, dist, leaf, _ = jax.lax.while_loop(cond, body, state)
     return HitRecord(hit=hit, distance=dist, leaf=leaf)
+
+
+def traverse_any(bvh: BVH, rays: Rays, epsilon: float, max_t,
+                 max_steps: int = 0):
+    """Any-hit (occlusion) traversal: True where ANY triangle intersects
+    the ray at distance in (epsilon, max_t).
+
+    A strict simplification of ``traverse`` (reference traversal loop:
+    RayTraceTraversal.hlsl:106-193): no nearest-hit bookkeeping, and a
+    lane exits the walk the moment it finds any occluder.  Used for
+    shadow rays (BASELINE.md config 3 — the reference has no lights).
+
+    Args:
+      max_t: [R] maximum hit distance (e.g. distance to the light).
+    """
+    n = bvh.n_leaves
+    nrays = rays.origin.shape[0]
+    if max_steps <= 0:
+        max_steps = 4 * n
+
+    ox, oy, oz = (rays.origin[:, k] for k in range(3))
+    dx, dy, dz = (rays.direction[:, k] for k in range(3))
+    inv = rays.inv_direction
+    ix, iy, iz = (inv[:, k] for k in range(3))
+    bminx, bminy, bminz = (bvh.bbmin[:, k] for k in range(3))
+    bmaxx, bmaxy, bmaxz = (bvh.bbmax[:, k] for k in range(3))
+    tv = bvh.tri_verts
+    v0x, v0y, v0z = (tv[:, 0, k] for k in range(3))
+    e1x, e1y, e1z = (tv[:, 1, k] - tv[:, 0, k] for k in range(3))
+    e2x, e2y, e2z = (tv[:, 2, k] - tv[:, 0, k] for k in range(3))
+    entry_link = bvh.entry_link
+    skip_link = bvh.skip_link
+
+    def cond(state):
+        node, _, it = state
+        return jnp.any(node >= 0) & (it < max_steps)
+
+    def body(state):
+        node, occ, it = state
+        live = node >= 0
+        nid = jnp.maximum(node, 0)
+
+        t0x = (bminx[nid] - ox) * ix
+        t1x = (bmaxx[nid] - ox) * ix
+        t0y = (bminy[nid] - oy) * iy
+        t1y = (bmaxy[nid] - oy) * iy
+        t0z = (bminz[nid] - oz) * iz
+        t1z = (bmaxz[nid] - oz) * iz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        nonempty = bminx[nid] <= bmaxx[nid]
+        # prune boxes entirely beyond the light distance
+        bhit = (0.0 <= tmax) & (tmin <= tmax) & nonempty & (tmin <= max_t) & live
+
+        is_leaf = nid < n
+        lid = jnp.where(is_leaf, nid, 0)
+        g_v0x, g_v0y, g_v0z = v0x[lid], v0y[lid], v0z[lid]
+        g_e1x, g_e1y, g_e1z = e1x[lid], e1y[lid], e1z[lid]
+        g_e2x, g_e2y, g_e2z = e2x[lid], e2y[lid], e2z[lid]
+        px = dy * g_e2z - dz * g_e2y
+        py = dz * g_e2x - dx * g_e2z
+        pz = dx * g_e2y - dy * g_e2x
+        det = g_e1x * px + g_e1y * py + g_e1z * pz
+        det_ok = jnp.abs(det) >= epsilon
+        inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+        tvx, tvy, tvz = ox - g_v0x, oy - g_v0y, oz - g_v0z
+        u = (tvx * px + tvy * py + tvz * pz) * inv_det
+        qx = tvy * g_e1z - tvz * g_e1y
+        qy = tvz * g_e1x - tvx * g_e1z
+        qz = tvx * g_e1y - tvy * g_e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (g_e2x * qx + g_e2y * qy + g_e2z * qz) * inv_det
+        tri_ok = (
+            det_ok
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > epsilon)
+            & (t < max_t)
+        )
+
+        found = live & is_leaf & bhit & tri_ok
+        occ = occ | found
+
+        descend = bhit & ~is_leaf
+        nxt = jnp.where(descend, entry_link[nid], skip_link[nid])
+        # occluded lanes exit the walk immediately (any-hit early out)
+        node = jnp.where(live & ~found, nxt, jnp.int32(-1))
+        return node, occ, it + 1
+
+    state = (
+        jnp.full(nrays, jnp.int32(n)),
+        jnp.zeros(nrays, bool),
+        jnp.int32(0),
+    )
+    _, occ, _ = jax.lax.while_loop(cond, body, state)
+    return occ

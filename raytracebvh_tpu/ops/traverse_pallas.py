@@ -206,6 +206,167 @@ def _traverse_kernel(
     out_ref[2:3, :] = pltpu.bitcast(hit, jnp.float32)
 
 
+def _traverse_any_kernel(
+    node_ref, o_ref, d_ref, tmax_ref, out_ref, scratch,
+    *, n_leaves, node_width, epsilon, max_steps,
+):
+    """Any-hit (occlusion) walk: like ``_traverse_kernel`` but with no
+    nearest-hit bookkeeping, a per-ray max distance, and per-lane early
+    exit the moment any triangle is hit (shadow-ray semantics; the
+    reference's loop RayTraceTraversal.hlsl:106-193 is the nearest-hit
+    superset of this)."""
+    node_tbl = node_ref[:]
+
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+    ray_tmax = tmax_ref[0:1, :]
+    idx_ = 1.0 / dx
+    idy_ = 1.0 / dy
+    idz_ = 1.0 / dz
+
+    w = ox.shape[1]
+    root = jnp.full((1, w), n_leaves, jnp.int32)
+
+    def cond(state):
+        node, _, step = state
+        return jnp.logical_and(jnp.max(node) >= 0, step < max_steps)
+
+    def body(state):
+        node, occ, step = state
+        live = node >= 0
+        rep = jnp.min(jnp.where(live, node, jnp.int32(2 * n_leaves - 1)))
+        nid = jnp.where(live, node, rep)
+        nid = jnp.maximum(nid, 0)
+
+        row = _gather_cols(node_tbl, nid, node_width, scratch)
+        bminx, bminy, bminz = row[0:1], row[1:2], row[2:3]
+        bmaxx, bmaxy, bmaxz = row[3:4], row[4:5], row[5:6]
+        entry, skip = _unpack_links(row[6:7])
+
+        t0x = (bminx - ox) * idx_
+        t1x = (bmaxx - ox) * idx_
+        t0y = (bminy - oy) * idy_
+        t1y = (bmaxy - oy) * idy_
+        t0z = (bminz - oz) * idz_
+        t1z = (bmaxz - oz) * idz_
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        nonempty = bminx <= bmaxx
+        bhit = (
+            (0.0 <= tmax) & (tmin <= tmax) & nonempty
+            & (tmin <= ray_tmax) & live
+        )
+
+        is_leaf = nid < n_leaves
+
+        v0x, v0y, v0z = row[7:8], row[8:9], row[9:10]
+        e1x, e1y, e1z = row[10:11], row[11:12], row[12:13]
+        e2x, e2y, e2z = row[13:14], row[14:15], row[15:16]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        det_ok = jnp.abs(det) >= epsilon
+        inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        u = (tvx * px + tvy * py + tvz * pz) * inv_det
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        tri_hit = (
+            det_ok
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > epsilon)
+            & (t < ray_tmax)
+        )
+
+        found = live & is_leaf & bhit & tri_hit
+        occ = jnp.where(found, 1, occ)
+
+        descend = bhit & jnp.logical_not(is_leaf)
+        nxt = jnp.where(descend, entry, skip)
+        # early exit: occluded lanes leave the walk now
+        node = jnp.where(live & jnp.logical_not(found), nxt, jnp.int32(-1))
+        return node, occ, step + 1
+
+    state = (root, jnp.zeros((1, w), jnp.int32), jnp.int32(0))
+    _, occ, _ = jax.lax.while_loop(cond, body, state)
+    out_ref[0:1, :] = pltpu.bitcast(occ, jnp.float32)
+
+
+def traverse_any_pallas(
+    bvh: BVH,
+    rays: Rays,
+    epsilon: float,
+    max_t,
+    max_steps: int = 0,
+    block_rays: int = 1024,
+    interpret: bool | None = None,
+):
+    """Any-hit traversal: [R] bool, True where some triangle lies at
+    distance in (epsilon, max_t) along the ray.  Pallas counterpart of
+    ops.traverse.traverse_any (parity-tested)."""
+    n = bvh.n_leaves
+    if max_steps <= 0:
+        max_steps = 4 * n
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    node_tbl = pack_tables(bvh)
+    node_width = node_tbl.shape[1]
+
+    nrays = rays.origin.shape[0]
+    rpad = _round_up(nrays, block_rays)
+    origin = jnp.zeros((3, rpad), jnp.float32).at[:, :nrays].set(
+        rays.origin.astype(jnp.float32).T
+    )
+    direction = jnp.ones((3, rpad), jnp.float32).at[:, :nrays].set(
+        rays.direction.astype(jnp.float32).T
+    )
+    # padding rays get tmax -1: they can never hit anything
+    tmax = jnp.full((1, rpad), -1.0, jnp.float32).at[0, :nrays].set(
+        jnp.asarray(max_t, jnp.float32)
+    )
+
+    kernel = functools.partial(
+        _traverse_any_kernel,
+        n_leaves=n,
+        node_width=node_width,
+        epsilon=epsilon,
+        max_steps=max_steps,
+    )
+    grid = (rpad // block_rays,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((CHANNELS, node_width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, rpad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((CHANNELS, LANES), jnp.float32)],
+        interpret=interpret,
+    )(node_tbl, origin, direction, tmax)
+
+    return jax.lax.bitcast_convert_type(out[0, :nrays], jnp.int32) > 0
+
+
 def _pack_u16_pair(lo, hi):
     """Two int32 arrays with values in [-1, 65535) -> one f32 bit pattern."""
     lo_u = jnp.where(lo < 0, 0xFFFF, lo).astype(jnp.uint32)

@@ -35,7 +35,13 @@ from jax import shard_map
 
 from ..config import RenderConfig
 from ..core.types import Camera, Rays, Scene
-from ..pipeline import build_bvh, make_rays, render_frame, shade_rays
+from ..pipeline import (
+    build_bvh,
+    light_in_ray_space,
+    make_rays,
+    render_frame,
+    shade_rays,
+)
 from ..camera import camera_matrices
 from .mesh import GEO_AXIS, RAYS_AXIS, ray_sharded, replicated
 
@@ -55,10 +61,13 @@ def render_sharded(scene: Scene, camera: Camera, cfg: RenderConfig, mesh: Mesh):
     return _render(scene, camera, cfg)
 
 
-def _trace_tile(scene: Scene, bvh, rays: Rays, cfg: RenderConfig):
-    """Launch + bounces (+ refraction) for a tile of rays (inside
-    shard_map); the SoA chain from pipeline.py."""
-    return shade_rays(scene, bvh, rays, cfg)
+def _trace_tile(scene: Scene, bvh, rays: Rays, cfg: RenderConfig, wvp=None):
+    """Launch + bounces (+ refraction + shadows) for a tile of rays
+    (inside shard_map); the SoA chain from pipeline.py."""
+    light3 = None
+    if cfg.enable_shadows and wvp is not None:
+        light3 = light_in_ray_space(cfg, wvp, wvp.dtype)
+    return shade_rays(scene, bvh, rays, cfg, light3)
 
 
 def render_geo_sharded(
@@ -106,7 +115,7 @@ def render_geo_sharded(
             tex_hw=scene_shard.tex_hw,
         )
         bvh = build_bvh(full, wvp, wv, cfg)
-        return _trace_tile(full, bvh, rays_tile, cfg)
+        return _trace_tile(full, bvh, rays_tile, cfg, wvp)
 
     color = jax.jit(_tile)(scene, wvp, wv, rays)
     return color.reshape(cfg.height, cfg.width, 4)
@@ -152,7 +161,7 @@ def train_step_sharded(
         def local_loss(p):
             s = scene_fn(p, scene)
             bvh = build_bvh(s, wvp, wv, cfg)
-            color = _trace_tile(s, bvh, rays_tile, cfg)
+            color = _trace_tile(s, bvh, rays_tile, cfg, wvp)
             return jnp.mean((color - target_tile) ** 2)
 
         loss, grads = jax.value_and_grad(local_loss)(params)

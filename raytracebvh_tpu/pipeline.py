@@ -76,9 +76,14 @@ def build_bvh(scene: Scene, wvp, wv, cfg: RenderConfig) -> BVH:
         sorted_codes, order = sort_ops.radix_sort_by_code(codes)
     else:
         sorted_codes, order = sort_ops.sort_by_code(codes)
+    # SoA gathers throughout: TPU gathers of [*, 3]-minor arrays are the
+    # slow path (padded to 128 lanes AND lowered badly — the [n, 3] form
+    # of the morton gather measured 26.5 ms vs sub-ms 1-D; see
+    # ops/morton.triangle_leaves).  Every permutation below is therefore
+    # a set of 1-D column gathers.
     prim = prim[order]
-    lmin = lmin[order]
-    lmax = lmax[order]
+    lmin = jnp.stack([lmin[:, k][order] for k in range(3)], -1)
+    lmax = jnp.stack([lmax[:, k][order] for k in range(3)], -1)
 
     topo = bvh_ops.build_topology(sorted_codes)
     bbmin, bbmax = bvh_ops.fit_aabbs(topo.node_lo, topo.node_hi, lmin, lmax)
@@ -88,21 +93,31 @@ def build_bvh(scene: Scene, wvp, wv, cfg: RenderConfig) -> BVH:
     # gather leaf triangle data into morton order ONCE (fixes quirk Q7,
     # the reference's per-leaf-visit WVP transform)
     safe_prim = jnp.maximum(prim, 0)
-    face_idx = scene.indices.reshape(-1, 3)[safe_prim]  # [n, 3]
-    tri_verts = verts_t[face_idx]  # [n, 3, 3]
-    tri_normals = normals_t[face_idx]
-    tri_uv = scene.uv.astype(dtype)[face_idx]
+    faces = scene.indices.reshape(-1, 3)
+    corner = [faces[:, v][safe_prim] for v in range(3)]  # 3x [n] int32
+    vt = [verts_t[:, k] for k in range(3)]  # 1-D vertex columns
+    nt = [normals_t[:, k] for k in range(3)]
+    uvc = [scene.uv.astype(dtype)[:, k] for k in range(2)]
+    tv = [[vt[k][corner[v]] for k in range(3)] for v in range(3)]  # [v][k]
+    tn = [[nt[k][corner[v]] for k in range(3)] for v in range(3)]
+    tuv = [[uvc[k][corner[v]] for k in range(2)] for v in range(3)]
     tri_mat = scene.mat_index[safe_prim]
+
+    tri_verts = jnp.stack(
+        [jnp.stack(tv[v], -1) for v in range(3)], axis=1
+    )  # [n, 3, 3]
+    tri_normals = jnp.stack([jnp.stack(tn[v], -1) for v in range(3)], axis=1)
+    tri_uv = jnp.stack([jnp.stack(tuv[v], -1) for v in range(3)], axis=1)
 
     # packed per-leaf shading table (see core/types.py BVH.leaf_attrs)
     mats = scene.materials
     cols = (
-        [tri_verts[:, v, k] for v in range(3) for k in range(3)]
-        + [tri_normals[:, v, k] for v in range(3) for k in range(3)]
-        + [tri_uv[:, v, k] for v in range(3) for k in range(2)]
-        + [mats.ambient.astype(dtype)[tri_mat][:, c] for c in range(4)]
-        + [mats.diffuse.astype(dtype)[tri_mat][:, c] for c in range(4)]
-        + [mats.specular.astype(dtype)[tri_mat][:, c] for c in range(4)]
+        [tv[v][k] for v in range(3) for k in range(3)]
+        + [tn[v][k] for v in range(3) for k in range(3)]
+        + [tuv[v][k] for v in range(3) for k in range(2)]
+        + [mats.ambient[:, c].astype(dtype)[tri_mat] for c in range(4)]
+        + [mats.diffuse[:, c].astype(dtype)[tri_mat] for c in range(4)]
+        + [mats.specular[:, c].astype(dtype)[tri_mat] for c in range(4)]
         + [
             mats.shininess.astype(dtype)[tri_mat],
             mats.optical_density.astype(dtype)[tri_mat],
@@ -176,8 +191,62 @@ def _traverse_ids(bvh: BVH, rays: Rays, cfg: RenderConfig) -> HitRecord:
     )
 
 
+def light_in_ray_space(cfg: RenderConfig, wvp, dtype):
+    """cfg.light_pos (world) -> tuple of 3 scalars in tracing space.
+
+    'reference' camera mode traces against WVP-transformed geometry with
+    no w-divide (quirks Q1/Q3), so the light rides the same transform;
+    'perspective' mode traces in world space."""
+    light = jnp.asarray(cfg.light_pos, dtype)
+    if cfg.camera_mode == "reference":
+        from .camera import transform_points
+
+        light = transform_points(light[None], wvp.astype(dtype))[0]
+    return (light[0], light[1], light[2])
+
+
+def _shadow_vis(bvh: BVH, o3, d3, rec: HitRecord, light3, cfg: RenderConfig):
+    """Per-ray visibility factor from one any-hit shadow ray at the
+    light (BASELINE.md config 3).  Occlusion is discrete — evaluated
+    entirely under stop_gradient, like the hit ids."""
+    sg = jax.lax.stop_gradient
+    t = sg(rec.distance)
+    o3 = tuple(sg(o) for o in o3)
+    d3 = tuple(sg(d) for d in d3)
+    light3 = tuple(sg(l) for l in light3)
+    hx = tuple(o3[i] + d3[i] * t for i in range(3))
+    L = tuple(light3[i] - hx[i] for i in range(3))
+    dist = jnp.sqrt(shade_ops.dot3(L, L))
+    invd = 1.0 / jnp.maximum(dist, 1e-30)
+    dirn = tuple(L[i] * invd for i in range(3))
+    # offset along the shadow direction; cap just short of the light
+    so = tuple(hx[i] + dirn[i] * cfg.ray_offset for i in range(3))
+    max_t = dist * (1.0 - 1e-4)
+    # dead lanes (primary misses) fire from far outside every AABB
+    so = tuple(jnp.where(rec.hit, so[i], 1.0e30) for i in range(3))
+    rays = _rays_of(so, dirn)
+
+    backend = cfg.traversal_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas":
+        from .ops.traverse_pallas import traverse_any_pallas
+
+        occ = traverse_any_pallas(
+            sg(bvh), rays, cfg.epsilon, max_t, cfg.max_traversal_steps
+        )
+    else:
+        from .ops.traverse import traverse_any
+
+        occ = traverse_any(
+            sg(bvh), rays, cfg.epsilon, max_t, cfg.max_traversal_steps
+        )
+    occ = occ & rec.hit
+    return jnp.where(occ, jnp.asarray(cfg.shadow_factor, t.dtype), 1.0)
+
+
 def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord,
-                   tex_quads=None):
+                   tex_quads=None, vis=None):
     """Differentiable re-evaluation of a hit: position, normal, surface
     color (renderPixel * specular — reference: RayTraceLaunch.hlsl:57-59)
     and per-hit material scalars.
@@ -234,13 +303,21 @@ def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord,
     tex = shade_ops.sample_texture_quads(
         tex_quads, scene.tex_hw, tex_id, uvu, uvv, hmax, wmax
     )
-    # saturate(ambient + diffuse * tex) * specular
-    # (reference: RayTraceRender.hlsl:16-29, RayTraceLaunch.hlsl:57-59)
-    color = tuple(
-        jnp.clip(a[:, 24 + c] + a[:, 28 + c] * tex[c], 0.0, 1.0)
-        * a[:, 32 + c]
-        for c in range(4)
-    )
+    # saturate(ambient + vis * diffuse * tex) * specular
+    # (reference: RayTraceRender.hlsl:16-29, RayTraceLaunch.hlsl:57-59;
+    # vis is the shadow-ray visibility factor, 1 when shadows are off)
+    if vis is None:
+        color = tuple(
+            jnp.clip(a[:, 24 + c] + a[:, 28 + c] * tex[c], 0.0, 1.0)
+            * a[:, 32 + c]
+            for c in range(4)
+        )
+    else:
+        color = tuple(
+            jnp.clip(a[:, 24 + c] + vis * a[:, 28 + c] * tex[c], 0.0, 1.0)
+            * a[:, 32 + c]
+            for c in range(4)
+        )
     shininess = a[:, 36]
     optical = a[:, 37]
     alpha = a[:, 38]
@@ -260,7 +337,7 @@ def _split_rays(rays: Rays):
 
 
 def _launch_soa(scene: Scene, bvh: BVH, o3, d3, cfg: RenderConfig,
-                tex_quads=None):
+                tex_quads=None, light3=None):
     """Primary-ray pass (reference: RayTraceLaunch.hlsl), SoA form.
 
     Returns (color4, (refl_o3, refl_d3), refl_intensity,
@@ -273,8 +350,11 @@ def _launch_soa(scene: Scene, bvh: BVH, o3, d3, cfg: RenderConfig,
     actually runs when cfg.enable_refraction.
     """
     rec = _traverse_ids(bvh, _rays_of(o3, d3), cfg)
+    vis = None
+    if cfg.enable_shadows and light3 is not None:
+        vis = _shadow_vis(bvh, o3, d3, rec, light3, cfg)
     hit_loc, normal, hit_color, shininess, alpha, optical = _shade_hit_soa(
-        scene, bvh, o3, d3, rec, tex_quads
+        scene, bvh, o3, d3, rec, tex_quads, vis
     )
     hit = rec.hit
 
@@ -454,21 +534,27 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
         bvh = build_bvh(scene, eye4, eye4, cfg)
         rays = make_rays(camera, cfg)
 
-    color = shade_rays(scene, bvh, rays, cfg)
+    light3 = None
+    if cfg.enable_shadows:
+        light3 = light_in_ray_space(cfg, wvp, jnp.dtype(cfg.dtype))
+    color = shade_rays(scene, bvh, rays, cfg, light3)
     return color.reshape(cfg.height, cfg.width, 4)
 
 
-def _shade_rays_one(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
+def _shade_rays_one(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig,
+                    light3=None):
     """launch + bounce chain (+ refraction) for one batch of rays.
 
     Internally pure structure-of-arrays; the only [R, 4] array is the
-    final stacked color."""
+    final stacked color.  Shadow rays (``light3`` + cfg.enable_shadows)
+    apply to primary hits; bounce passes keep the reference's unshadowed
+    lerp chain."""
     o3, d3 = _split_rays(rays)
     # one quad table per frame, shared by every pass (see
     # ops/shade.pack_texture_quads)
     tex_quads = shade_ops.pack_texture_quads(scene.textures, scene.tex_hw)
     color, refl, intensity, refr, refr_int = _launch_soa(
-        scene, bvh, o3, d3, cfg, tex_quads
+        scene, bvh, o3, d3, cfg, tex_quads, light3
     )
     ro, rd = refl
     for _ in range(cfg.bounces):
@@ -499,7 +585,8 @@ def _shade_rays_one(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
     return jnp.stack(color, axis=-1)
 
 
-def shade_rays(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
+def shade_rays(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig,
+               light3=None):
     """The whole per-ray pipeline, optionally in sequential ray tiles.
 
     cfg.ray_chunk > 0 runs launch+bounces tile-by-tile under ``lax.map``
@@ -520,10 +607,10 @@ def shade_rays(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig):
             rays,
         )
         color = jax.lax.map(
-            lambda r: _shade_rays_one(scene, bvh, r, cfg), tiles
+            lambda r: _shade_rays_one(scene, bvh, r, cfg, light3), tiles
         )
         return color.reshape(nrays, 4)
-    return _shade_rays_one(scene, bvh, rays, cfg)
+    return _shade_rays_one(scene, bvh, rays, cfg, light3)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

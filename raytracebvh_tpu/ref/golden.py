@@ -173,7 +173,8 @@ def render_golden(scene, eye, at, up, width, height, bounces=3, ortho_scale=4.0,
                   fov=np.pi / 4, near=0.1, far=1000.0, epsilon=0.01,
                   ray_offset=0.001, bounce_ray_offset=0.0001,
                   background=(0.5, 0.5, 0.5, 1.0), refraction=False,
-                  refraction_decay=1.0):
+                  refraction_decay=1.0, shadows=False,
+                  light_pos=(0.0, 60.0, -60.0), shadow_factor=0.35):
     """Brute-force render in the reference's clip-space ortho setup.
 
     ``scene`` is a host Scene (numpy arrays).  Returns [h, w, 4] float64.
@@ -212,7 +213,7 @@ def render_golden(scene, eye, at, up, width, height, bounces=3, ortho_scale=4.0,
 
     background = np.asarray(background, np.float64)
 
-    def shade(o, d, hit, t, face):
+    def shade(o, d, hit, t, face, vis=None):
         pt = o + d * t[:, None]
         tp, tn, tu = tris[face], tri_nrm[face], tri_uv[face]
         uv_i, n_i = interp_normal_uv(tp, tn, tu, pt)
@@ -220,9 +221,11 @@ def render_golden(scene, eye, at, up, width, height, bounces=3, ortho_scale=4.0,
         tex = sample_texture_np(
             textures, tex_hw, np.asarray(mats.tex_id)[mid], uv_i
         )
+        diffuse = np.asarray(mats.diffuse, np.float64)[mid] * tex
+        if vis is not None:
+            diffuse = vis[:, None] * diffuse
         base = np.clip(
-            np.asarray(mats.ambient, np.float64)[mid]
-            + np.asarray(mats.diffuse, np.float64)[mid] * tex,
+            np.asarray(mats.ambient, np.float64)[mid] + diffuse,
             0.0,
             1.0,
         )
@@ -232,9 +235,23 @@ def render_golden(scene, eye, at, up, width, height, bounces=3, ortho_scale=4.0,
         od = np.asarray(mats.optical_density, np.float64)[mid]
         return pt, n_i, color, shin, alpha, od
 
-    # primary launch
+    # primary launch (shadow rays on primary hits only, matching
+    # pipeline._launch_soa)
     hit, t, face = nearest_hit(origin, direction, tris, epsilon)
-    pt, n_i, c_i, shin, alpha, od = shade(origin, direction, hit, t, face)
+    vis = None
+    if shadows:
+        light = np.asarray(light_pos, np.float64) @ wvp[:3, :3] + wvp[3, :3]
+        pt0 = origin + direction * t[:, None]
+        L = light[None] - pt0
+        dist = np.linalg.norm(L, axis=-1)
+        dirn = L / np.maximum(dist[:, None], 1e-30)
+        so = pt0 + dirn * ray_offset
+        t_all = mt_all(so, dirn, tris, epsilon)
+        occ = np.any(
+            (t_all > 0) & (t_all < (dist * (1.0 - 1e-4))[:, None]), axis=1
+        )
+        vis = np.where(occ & hit, shadow_factor, 1.0)
+    pt, n_i, c_i, shin, alpha, od = shade(origin, direction, hit, t, face, vis)
     color = np.where(hit[:, None], c_i, background)
     intensity = np.where(hit, shin / 1000.0, 0.0)
     ro = np.where(hit[:, None], pt + n_i * ray_offset, origin)
