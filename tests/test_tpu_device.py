@@ -1,0 +1,110 @@
+"""On-device (real TPU) parity tests.
+
+The CPU suite pins jax to a virtual 8-device CPU mesh (conftest.py), so
+the Pallas kernels there only ever run in interpret mode.  This module
+is the Mosaic-compiled counterpart: it runs ONLY when invoked outside
+the conftest pin with a real TPU attached, e.g.
+
+    python -m pytest tests/test_tpu_device.py -q -p no:cacheprovider \
+        --override-ini addopts= --co  # (collect)
+    RTBVH_TPU_TESTS=1 python tests/test_tpu_device.py   # direct runner
+
+Direct execution avoids conftest.py's CPU pin entirely; the pytest path
+skips unless the backend is already TPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a real TPU backend"
+)
+
+
+def _setup(n_tris=500, width=128, height=96, seed=3):
+    from raytracebvh_tpu import Camera, RenderConfig
+    from raytracebvh_tpu.camera import camera_matrices
+    from raytracebvh_tpu.core.types import scene_to_device
+    from raytracebvh_tpu.models.procedural import random_triangles
+    from raytracebvh_tpu.pipeline import build_bvh, make_rays
+
+    scene = scene_to_device(random_triangles(n_tris, seed=seed,
+                                             with_texture=True))
+    cfg = RenderConfig(width=width, height=height, bounces=1)
+    cam = Camera.default()
+    wvp, wv = camera_matrices(cam, width, height)
+    bvh = jax.jit(lambda s: build_bvh(s, wvp, wv, cfg))(scene)
+    rays = make_rays(cam, cfg)
+    return scene, cfg, cam, bvh, rays
+
+
+@requires_tpu
+def test_pallas_traversal_parity_on_device():
+    """Mosaic-compiled traversal == XLA while_loop traversal, on chip."""
+    from raytracebvh_tpu.ops.traverse import traverse
+    from raytracebvh_tpu.ops.traverse_pallas import traverse_pallas
+
+    scene, cfg, cam, bvh, rays = _setup()
+    rec_x = jax.jit(lambda b, r: traverse(b, r, cfg.epsilon))(bvh, rays)
+    rec_p = jax.jit(lambda b, r: traverse_pallas(b, r, cfg.epsilon))(bvh, rays)
+    np.testing.assert_array_equal(np.asarray(rec_x.hit), np.asarray(rec_p.hit))
+    np.testing.assert_array_equal(
+        np.asarray(rec_x.leaf)[np.asarray(rec_x.hit)],
+        np.asarray(rec_p.leaf)[np.asarray(rec_p.hit)],
+    )
+    np.testing.assert_allclose(
+        np.asarray(rec_x.distance), np.asarray(rec_p.distance), rtol=1e-6
+    )
+
+
+@requires_tpu
+def test_pallas_any_hit_parity_on_device():
+    from raytracebvh_tpu.core.types import Rays
+    from raytracebvh_tpu.ops.traverse import traverse_any
+    from raytracebvh_tpu.ops.traverse_pallas import traverse_any_pallas
+
+    scene, cfg, cam, bvh, rays = _setup(n_tris=300, width=64, height=64)
+    rng = np.random.default_rng(0)
+    max_t = jnp.asarray(rng.uniform(5.0, 300.0, rays.origin.shape[0]),
+                        jnp.float32)
+    occ_x = jax.jit(lambda b, r, m: traverse_any(b, r, cfg.epsilon, m))(
+        bvh, rays, max_t
+    )
+    occ_p = jax.jit(
+        lambda b, r, m: traverse_any_pallas(b, r, cfg.epsilon, m)
+    )(bvh, rays, max_t)
+    np.testing.assert_array_equal(np.asarray(occ_x), np.asarray(occ_p))
+
+
+@requires_tpu
+def test_grad_step_finite_on_device():
+    """A small fwd+bwd step through the full pipeline (pallas traversal)
+    produces finite, nonzero gradients on chip."""
+    from raytracebvh_tpu.models.inverse import init_params, loss_fn
+
+    scene, cfg, cam, bvh, rays = _setup(width=64, height=64)
+    params = init_params(scene)
+    target = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+    loss, grads = jax.jit(
+        jax.value_and_grad(lambda p: loss_fn(p, scene, cam, target, cfg))
+    )(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert sum(float(np.abs(np.asarray(g)).sum()) for g in leaves) > 0
+
+
+if __name__ == "__main__":
+    # direct runner (bypasses conftest's CPU pin)
+    if jax.default_backend() != "tpu":
+        print("no TPU backend; skipping")
+    else:
+        test_pallas_traversal_parity_on_device()
+        print("traversal parity ok")
+        test_pallas_any_hit_parity_on_device()
+        print("any-hit parity ok")
+        test_grad_step_finite_on_device()
+        print("grad step ok")
