@@ -310,6 +310,43 @@ def compute_links(topo: Topology, n: int):
     return entry, skip
 
 
+def preorder_ranks(entry_link, n: int):
+    """DFS pre-order rank of every node, loop-free in tree depth.
+
+    The entry links already thread the tree in pre-order: for every node,
+    ``entry`` is the next node the traversal visits when its box is hit
+    (left child for internal nodes, skip for leaves — see
+    ``compute_links``), so following ``entry`` from the root enumerates
+    all 2n-1 nodes in exact pre-order.  Ranking that linked list is
+    pointer doubling: ceil(log2(2n)) rounds of ``d += d[p]; p = p[p]``
+    (two 1-D gathers per round), no O(depth) sweep.
+
+    Rank space is what the Pallas traversal's preorder node table is laid
+    out in: rank(root) = 0 and rank(left child) = rank(parent) + 1, which
+    makes the descend step a simple ``+1`` (no entry-link storage).
+
+    Returns [2n] int32 ranks in [0, 2n-1); the unused topology slot
+    (id 2n-1) is pinned to rank 2n-1 so scatters by rank can't collide.
+    """
+    two_n = 2 * n
+    sentinel = two_n - 1  # unused topology slot doubles as list terminator
+    ids = jnp.arange(two_n, dtype=jnp.int32)
+    nxt = jnp.where(entry_link < 0, sentinel, entry_link)
+    nxt = nxt.at[sentinel].set(sentinel)  # self-loop terminator
+    d = jnp.where(ids == sentinel, 0, 1).astype(jnp.int32)
+
+    rounds = max(1, int(math.ceil(math.log2(two_n))))
+
+    def body(_, state):
+        d, p = state
+        return d + d[p], p[p]
+
+    d, _ = jax.lax.fori_loop(0, rounds, body, (d, nxt))
+    # d(x) = hops from x to the terminator; the head (root) has the most
+    rank = (two_n - 1) - d
+    return rank.at[sentinel].set(sentinel)
+
+
 def compute_links_levelsync(child_l, child_r, parent, n):
     """Round-1 top-down level-synchronous link computation, kept as an
     independent parity reference for ``compute_links``."""

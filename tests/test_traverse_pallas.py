@@ -81,3 +81,54 @@ def test_pallas_pipeline_backend():
         render_frame_jit(scene, cam, base.replace(traversal_backend="pallas"))
     )
     np.testing.assert_allclose(img_pl, img_jnp, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("num_tris,seed,nrays", [(60, 3, 384), (700, 4, 512)])
+def test_preorder_pallas_matches_xla(num_tris, seed, nrays):
+    """Pre-order threaded kernel (no 32767-leaf cap) == XLA traversal."""
+    from raytracebvh_tpu.ops.traverse_pallas import traverse_pre_pallas
+
+    bvh = _build(num_tris, seed)
+    rays = _random_rays(nrays, seed + 50)
+    ref = traverse(bvh, rays, epsilon=0.01)
+    got = traverse_pre_pallas(bvh, rays, epsilon=0.01, interpret=True,
+                              block_rays=256)
+    ref_hit = np.asarray(ref.hit)
+    np.testing.assert_array_equal(np.asarray(got.hit), ref_hit)
+    np.testing.assert_array_equal(
+        np.asarray(got.leaf)[ref_hit], np.asarray(ref.leaf)[ref_hit]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.distance), np.asarray(ref.distance), rtol=1e-6
+    )
+
+
+def test_preorder_tables_large_tree():
+    """Table invariants beyond the old u16 cap (48k leaves): interpret-
+    mode execution at that size is infeasible, so validate the pre-order
+    threading itself — on-device parity at scale runs in
+    tests/test_tpu_device.py."""
+    import jax
+    from raytracebvh_tpu.ops import bvh as bvh_ops
+
+    n = 49152  # > 32767 (old hard cap)
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(np.sort(rng.integers(0, 1 << 30, n).astype(np.uint32)))
+    topo = bvh_ops.build_topology(codes)
+    entry, skip = bvh_ops.compute_links(topo, n)
+    rank = np.asarray(bvh_ops.preorder_ranks(entry, n))
+
+    # ranks of the 2n-1 real nodes are a permutation of [0, 2n-1)
+    real = rank[: 2 * n - 1]
+    assert rank[2 * n - 1] == 2 * n - 1
+    assert np.sort(real).tolist() == list(range(2 * n - 1))
+    # root is first; left child of every internal node follows its parent
+    assert rank[n] == 0
+    cl = np.asarray(topo.child_l)[n : 2 * n - 1]
+    ids = np.arange(n, 2 * n - 1)
+    np.testing.assert_array_equal(rank[cl], rank[ids] + 1)
+    # skip(x) in rank space is where the walk resumes: for every node
+    # with a skip, rank[skip] > rank[node]
+    sk = np.asarray(skip)[: 2 * n - 1]
+    has = sk >= 0
+    assert (rank[sk[has]] > real[has]).all()
