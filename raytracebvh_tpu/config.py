@@ -80,6 +80,12 @@ class RenderConfig:
     camera_mode: str = "reference"
     traversal_backend: str = "auto"
     sort_backend: str = "lax"
+    # 'auto' = pallas gather_rows kernel on TPU for the [40, n] leaf
+    # attribute lookup (in-VMEM shuffles + MXU scatter-add backward; XLA
+    # row gathers pay ~4ms per 2M rays regardless of row width), 'xla'
+    # elsewhere.  Texture sampling always uses the XLA quad gather (the
+    # quad table is tens of MB — HBM-resident by necessity).
+    shade_gather_backend: str = "auto"
     max_traversal_steps: int = 0  # 0 = auto (4 * n_leaves, safe upper bound)
     # Traverse rays in sequential chunks of this size (0 = one batch).
     # Bounds the lock-step penalty (one deep ray stalls only its chunk, not

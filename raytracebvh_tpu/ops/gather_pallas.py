@@ -1,0 +1,178 @@
+"""Pallas TPU table-row gather: out[:, r] = tbl[:, idx[r]].
+
+XLA's TPU gather of [R, C]-shaped rows costs ~4 ms per 2M rays at ANY C
+(gathers pay per-op, not per-byte) — at two gathers per shading pass
+(leaf attributes + texture quad) that's most of the shade time.  This
+kernel does the same lookup as in-VMEM dynamic shuffles, the exact
+mechanism the traversal megakernel uses per step (see
+ops/traverse_pallas._gather_cols): decompose into (width/128) in-tile
+128-lane shuffles and predicate away source tiles outside the
+[min, max] tile range each 128-ray output tile actually references.
+
+The table is channel-major [C, width] and must fit VMEM alongside a ray
+block (~width*C*4 bytes; a 3072-leaf, 40-channel attribute table is
+0.5 MB).  The result is channel-major [C, R] — the natural layout for
+the SoA shading math.
+
+Differentiable via custom_vjp: the backward pass accumulates dtbl as a
+per-block one-hot matmul on the MXU (scatter-as-matmul: for each source
+tile in range, dtbl[:, tile] += g_block @ onehot(lanes)), with the grid
+running sequentially over ray blocks into one accumulator output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _gather_kernel(tbl_ref, idx_ref, out_ref, scratch, *, width):
+    tbl = tbl_ref[:]  # [C, width]
+    c = tbl.shape[0]
+    idx = idx_ref[:]  # [1, block]
+    block = idx.shape[1]
+    tile_id = jax.lax.div(idx, LANES)
+    lane_id = jax.lax.rem(idx, LANES)
+    n_src = width // LANES
+    for ot in range(block // LANES):
+        tb = jnp.broadcast_to(tile_id[:, ot * LANES:(ot + 1) * LANES], (c, LANES))
+        lb = jnp.broadcast_to(lane_id[:, ot * LANES:(ot + 1) * LANES], (c, LANES))
+        t_lo = jnp.min(tb)
+        t_hi = jnp.max(tb)
+        scratch[0:c, :] = jnp.zeros((c, LANES), tbl.dtype)
+        for k in range(n_src):
+            @pl.when(jnp.logical_and(t_lo <= k, k <= t_hi))
+            def _(k=k, tb=tb, lb=lb):
+                part = jnp.take_along_axis(
+                    tbl[:, k * LANES:(k + 1) * LANES], lb, axis=1
+                )
+                scratch[0:c, :] = jnp.where(tb == k, part, scratch[0:c, :])
+        out_ref[:, ot * LANES:(ot + 1) * LANES] = scratch[0:c, :]
+
+
+def _scatter_add_kernel(g_ref, idx_ref, out_ref, *, width):
+    """out[:, idx[r]] += g[:, r], accumulated across the ray-block grid.
+
+    Scatter-as-matmul: within each 128-ray slice, build the one-hot
+    [LANES_rays, 128_cols] selector for each source tile in the slice's
+    tile range and accumulate g_slice @ onehot on the MXU.
+    """
+    g = g_ref[:]  # [C, block]
+    c = g.shape[0]
+    idx = idx_ref[:]  # [1, block]
+    block = idx.shape[1]
+    n_src = width // LANES
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tile_id = jax.lax.div(idx, LANES)
+    lane_id = jax.lax.rem(idx, LANES)
+    col = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    for ot in range(block // LANES):
+        sl = slice(ot * LANES, (ot + 1) * LANES)
+        tb = tile_id[0, sl]  # [LANES]
+        lb = lane_id[0, sl]
+        gs = g[:, sl]  # [C, LANES]
+        t_lo = jnp.min(tb)
+        t_hi = jnp.max(tb)
+        lane_col = jnp.broadcast_to(lb[:, None], (LANES, LANES))
+        tile_row = jnp.broadcast_to(tb[:, None], (LANES, LANES))
+        for k in range(n_src):
+            @pl.when(jnp.logical_and(t_lo <= k, k <= t_hi))
+            def _(k=k, lane_col=lane_col, tile_row=tile_row, gs=gs):
+                onehot = jnp.where(
+                    (lane_col == col) & (tile_row == k), 1.0, 0.0
+                ).astype(gs.dtype)
+                out_ref[:, k * LANES:(k + 1) * LANES] += jnp.dot(
+                    gs, onehot, preferred_element_type=jnp.float32
+                )
+
+
+def _gather_fwd_impl(tbl, idx, block, interpret):
+    c, width = tbl.shape
+    nrays = idx.shape[0]
+    rpad = _round_up(nrays, block)
+    # pad with index 0 (harmless: output sliced back to nrays)
+    idx2 = jnp.zeros((1, rpad), jnp.int32).at[0, :nrays].set(idx)
+    kernel = functools.partial(_gather_kernel, width=width)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rpad // block,),
+        in_specs=[
+            pl.BlockSpec((c, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, rpad), tbl.dtype),
+        scratch_shapes=[pltpu.VMEM((c, LANES), tbl.dtype)],
+        interpret=interpret,
+    )(tbl, idx2)
+    return out[:, :nrays]
+
+
+def _scatter_add_impl(g, idx, width, block, interpret):
+    c = g.shape[0]
+    nrays = idx.shape[0]
+    rpad = _round_up(nrays, block)
+    idx2 = jnp.full((1, rpad), width - 1, jnp.int32).at[0, :nrays].set(idx)
+    # padding rays carry zero gradient, scatter target irrelevant
+    g2 = jnp.zeros((c, rpad), g.dtype).at[:, :nrays].set(g)
+    kernel = functools.partial(_scatter_add_kernel, width=width)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rpad // block,),
+        in_specs=[
+            pl.BlockSpec((c, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, width), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, width), g.dtype),
+        interpret=interpret,
+    )(g2, idx2)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_rows(tbl, idx, block: int = 2048, interpret: bool | None = None):
+    """out[c, r] = tbl[c, idx[r]]; differentiable w.r.t. ``tbl``.
+
+    Args:
+      tbl: [C, width] channel-major table, width a multiple of 128.
+      idx: [R] int32 indices into the width axis.
+      block: rays per grid step.
+      interpret: force interpreter mode (defaults to off-TPU only).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _gather_fwd_impl(tbl, idx, block, interpret)
+
+
+def _gather_rows_fwd(tbl, idx, block, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _gather_fwd_impl(tbl, idx, block, interpret), (idx, tbl.shape[1])
+
+
+def _gather_rows_bwd(block, interpret, res, g):
+    idx, width = res
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dtbl = _scatter_add_impl(g, idx, width, block, interpret)
+    return dtbl, None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)

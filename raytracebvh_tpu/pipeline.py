@@ -246,7 +246,7 @@ def _shadow_vis(bvh: BVH, o3, d3, rec: HitRecord, light3, cfg: RenderConfig):
 
 
 def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord,
-                   tex_quads=None, vis=None):
+                   tex_quads=None, vis=None, cfg: RenderConfig = None):
     """Differentiable re-evaluation of a hit: position, normal, surface
     color (renderPixel * specular — reference: RayTraceLaunch.hlsl:57-59)
     and per-hit material scalars.
@@ -257,10 +257,22 @@ def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord,
     runs on 1-D component slices (structure-of-arrays; see
     ops/traverse.py layout note)."""
     leaf = rec.leaf
-    a = bvh.leaf_attrs[leaf]  # [R, 40] — the one gather
-    t0 = (a[:, 0], a[:, 1], a[:, 2])
-    t1 = (a[:, 3], a[:, 4], a[:, 5])
-    t2 = (a[:, 6], a[:, 7], a[:, 8])
+    backend = cfg.shade_gather_backend if cfg is not None else "xla"
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from .ops.gather_pallas import gather_rows
+
+        # channel-major [40, R] via the in-VMEM shuffle kernel (custom
+        # vjp scatters grads back on the MXU)
+        A = gather_rows(bvh.leaf_attrs.T, leaf)
+        a = lambda k: A[k]
+    else:
+        Arow = bvh.leaf_attrs[leaf]  # [R, 40] — the one XLA gather
+        a = lambda k: Arow[:, k]
+    t0 = (a(0), a(1), a(2))
+    t1 = (a(3), a(4), a(5))
+    t2 = (a(6), a(7), a(8))
 
     # recompute the hit distance differentiably (traversal's is
     # stop-grad); op-for-op the moller_trumbore formula
@@ -285,18 +297,18 @@ def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord,
     hit_loc = tuple(o3[i] + d3[i] * t for i in range(3))
 
     w0, w1, w2 = shade_ops.barycentric_weights3(t0, t1, t2, hit_loc)
-    n0 = (a[:, 9], a[:, 10], a[:, 11])
-    n1 = (a[:, 12], a[:, 13], a[:, 14])
-    n2 = (a[:, 15], a[:, 16], a[:, 17])
+    n0 = (a(9), a(10), a(11))
+    n1 = (a(12), a(13), a(14))
+    n2 = (a(15), a(16), a(17))
     normal = tuple(
         n0[i] * w0 + n1[i] * w1 + n2[i] * w2 for i in range(3)
     )
-    uvu = a[:, 18] * w0 + a[:, 20] * w1 + a[:, 22] * w2
-    uvv = a[:, 19] * w0 + a[:, 21] * w1 + a[:, 23] * w2
+    uvu = a(18) * w0 + a(20) * w1 + a(22) * w2
+    uvv = a(19) * w0 + a(21) * w1 + a(23) * w2
 
     # texture sample (reference: RayTraceRender.hlsl:24-26); tex_id rides
     # channel 39 as an integer-valued float
-    tex_id = a[:, 39].astype(jnp.int32)
+    tex_id = a(39).astype(jnp.int32)
     hmax, wmax = scene.textures.shape[1], scene.textures.shape[2]
     if tex_quads is None:
         tex_quads = shade_ops.pack_texture_quads(scene.textures, scene.tex_hw)
@@ -308,19 +320,19 @@ def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord,
     # vis is the shadow-ray visibility factor, 1 when shadows are off)
     if vis is None:
         color = tuple(
-            jnp.clip(a[:, 24 + c] + a[:, 28 + c] * tex[c], 0.0, 1.0)
-            * a[:, 32 + c]
+            jnp.clip(a(24 + c) + a(28 + c) * tex[c], 0.0, 1.0)
+            * a(32 + c)
             for c in range(4)
         )
     else:
         color = tuple(
-            jnp.clip(a[:, 24 + c] + vis * a[:, 28 + c] * tex[c], 0.0, 1.0)
-            * a[:, 32 + c]
+            jnp.clip(a(24 + c) + vis * a(28 + c) * tex[c], 0.0, 1.0)
+            * a(32 + c)
             for c in range(4)
         )
-    shininess = a[:, 36]
-    optical = a[:, 37]
-    alpha = a[:, 38]
+    shininess = a(36)
+    optical = a(37)
+    alpha = a(38)
     return hit_loc, normal, color, shininess, alpha, optical
 
 
@@ -354,7 +366,7 @@ def _launch_soa(scene: Scene, bvh: BVH, o3, d3, cfg: RenderConfig,
     if cfg.enable_shadows and light3 is not None:
         vis = _shadow_vis(bvh, o3, d3, rec, light3, cfg)
     hit_loc, normal, hit_color, shininess, alpha, optical = _shade_hit_soa(
-        scene, bvh, o3, d3, rec, tex_quads, vis
+        scene, bvh, o3, d3, rec, tex_quads, vis, cfg
     )
     hit = rec.hit
 
@@ -422,7 +434,7 @@ def _bounce_soa(scene: Scene, bvh: BVH, color, o3, d3, intensity,
     o3m = tuple(jnp.where(live, o3[i], 1.0e30) for i in range(3))
     rec = _traverse_ids(bvh, _rays_of(o3m, d3), cfg)
     hit_loc, normal, hit_color, shininess, _, _ = _shade_hit_soa(
-        scene, bvh, o3, d3, rec, tex_quads
+        scene, bvh, o3, d3, rec, tex_quads, None, cfg
     )
     hit = rec.hit & live
 
@@ -462,7 +474,7 @@ def _bounce_refract_soa(scene: Scene, bvh: BVH, color, o3, d3, intensity,
     o3m = tuple(jnp.where(live, o3[i], 1.0e30) for i in range(3))
     rec = _traverse_ids(bvh, _rays_of(o3m, d3), cfg)
     hit_loc, normal, hit_color, _, alpha, optical = _shade_hit_soa(
-        scene, bvh, o3, d3, rec, tex_quads
+        scene, bvh, o3, d3, rec, tex_quads, None, cfg
     )
     hit = rec.hit & live
 

@@ -132,3 +132,50 @@ def test_preorder_tables_large_tree():
     sk = np.asarray(skip)[: 2 * n - 1]
     has = sk >= 0
     assert (rank[sk[has]] > real[has]).all()
+
+
+def test_shade_gather_backend_parity():
+    """Full frame with the pallas gather_rows shade backend (interpret
+    mode) == the XLA gather shade backend."""
+    from raytracebvh_tpu import Camera, RenderConfig
+    from raytracebvh_tpu.core.types import scene_to_device
+    from raytracebvh_tpu.pipeline import render_frame
+
+    import jax
+
+    scene = scene_to_device(random_triangles(
+        300, seed=7, extent=4.0, tri_size=1.5, with_texture=True))
+    cam = Camera.default()
+    imgs = {}
+    for backend in ("xla", "pallas"):
+        cfg = RenderConfig(width=32, height=32, bounces=1,
+                           shade_gather_backend=backend)
+        imgs[backend] = np.asarray(jax.jit(
+            lambda s, c: render_frame(s, c, cfg)
+        )(scene, cam))
+    np.testing.assert_allclose(imgs["pallas"], imgs["xla"], atol=1e-6)
+
+
+def test_shade_gather_backend_grads():
+    """Gradients through gather_rows' custom vjp == XLA gather grads."""
+    import jax
+    import jax.numpy as jnp
+    from raytracebvh_tpu import Camera, RenderConfig
+    from raytracebvh_tpu.core.types import scene_to_device
+    from raytracebvh_tpu.pipeline import render_frame
+
+    scene = scene_to_device(random_triangles(
+        300, seed=7, extent=4.0, tri_size=1.5, with_texture=True))
+    cam = Camera.default()
+
+    def loss(diffuse, backend):
+        cfg = RenderConfig(width=24, height=24, bounces=1,
+                           shade_gather_backend=backend)
+        s = scene.replace(materials=scene.materials.replace(diffuse=diffuse))
+        return jnp.sum(render_frame(s, cam, cfg) ** 2)
+
+    g_x = jax.jit(jax.grad(lambda d: loss(d, "xla")))(scene.materials.diffuse)
+    g_p = jax.jit(jax.grad(lambda d: loss(d, "pallas")))(scene.materials.diffuse)
+    assert np.abs(np.asarray(g_x)).sum() > 0
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-4, atol=1e-6)
