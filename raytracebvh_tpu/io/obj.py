@@ -84,6 +84,18 @@ def _parse_face_vertex(s: str):
     return v, t, n
 
 
+def _resolve_index(i: int, count: int, what: str, path: str) -> int:
+    """1-based OBJ index -> 0-based, supporting the spec's negative
+    (relative) indices; raises on out-of-range instead of silently
+    wrapping (Python list negative indexing would)."""
+    j = i - 1 if i > 0 else count + i
+    if not 0 <= j < count:
+        raise ValueError(
+            f"{path}: {what} index {i} out of range (have {count})"
+        )
+    return j
+
+
 def load_obj(path: str, load_textures: bool = True,
              backend: str = "auto") -> Scene:
     """Parse an OBJ file into a host-side Scene (numpy arrays).
@@ -152,14 +164,20 @@ def _load_obj_python(path: str, load_textures: bool = True) -> Scene:
                     )
                 for c in corners:
                     vi, ti, ni = _parse_face_vertex(c)
-                    pos = tuple(positions[vi - 1])
-                    nrm = tuple(normals[ni - 1]) if ni else (0.0, 0.0, 0.0)
-                    # flip v into DirectX texture space
-                    uv = (
-                        (uvs[ti - 1][0], 1.0 - uvs[ti - 1][1])
-                        if ti
-                        else (0.0, 0.0)
+                    pos = tuple(
+                        positions[_resolve_index(vi, len(positions), "vertex", path)]
                     )
+                    nrm = (
+                        tuple(normals[_resolve_index(ni, len(normals), "normal", path)])
+                        if ni
+                        else (0.0, 0.0, 0.0)
+                    )
+                    # flip v into DirectX texture space
+                    if ti:
+                        tuvi = uvs[_resolve_index(ti, len(uvs), "uv", path)]
+                        uv = (tuvi[0], 1.0 - tuvi[1])
+                    else:
+                        uv = (0.0, 0.0)
                     k = (pos, nrm, uv)
                     idx = dedup.get(k)
                     if idx is None:
@@ -170,6 +188,13 @@ def _load_obj_python(path: str, load_textures: bool = True) -> Scene:
                         out_uv.append(list(uv))
                     indices.append(idx)
                 face_mat.append(cur_mat)
+
+    if not indices:
+        raise ValueError(f"{path}: no faces (empty or non-mesh OBJ)")
+    verts_arr = np.asarray(out_pos, np.float32)
+    if not np.isfinite(verts_arr).all():
+        bad = int((~np.isfinite(verts_arr)).any(axis=-1).sum())
+        raise ValueError(f"{path}: {bad} vertices with non-finite coordinates")
 
     if not materials:
         materials.append(_Material("Base_Mat"))
@@ -198,7 +223,7 @@ def _load_obj_python(path: str, load_textures: bool = True) -> Scene:
         tex_id=np.array(tex_ids, np.int32),
     )
     return Scene(
-        verts=np.asarray(out_pos, np.float32),
+        verts=verts_arr,
         normals=np.asarray(out_nrm, np.float32),
         uv=np.asarray(out_uv, np.float32),
         indices=np.asarray(indices, np.int32),

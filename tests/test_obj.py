@@ -66,3 +66,46 @@ def test_read_reference_out_bmp():
         pytest.skip("reference out.bmp not available")
     img = read_bmp(p)
     assert img.ndim == 3 and img.shape[2] == 3
+
+
+def test_negative_relative_indices(tmp_path):
+    """OBJ spec: negative indices are relative to the current end of the
+    list (the reference's sscanf %i loader would misread these; we
+    support them properly)."""
+    p = tmp_path / "rel.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n"
+    )
+    from raytracebvh_tpu.io.obj import load_obj
+
+    scene = load_obj(str(p), backend="python")
+    assert scene.num_faces == 1
+    np.testing.assert_allclose(scene.verts[scene.indices.reshape(3)][1],
+                               [1, 0, 0])
+
+
+def test_out_of_range_index_raises(tmp_path):
+    p = tmp_path / "bad.obj"
+    p.write_text("v 0 0 0\nf 1 2 3\n")
+    from raytracebvh_tpu.io.obj import load_obj
+
+    with pytest.raises(ValueError, match="out of range"):
+        load_obj(str(p), backend="python")
+
+
+def test_empty_mesh_raises(tmp_path):
+    p = tmp_path / "empty.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\n")
+    from raytracebvh_tpu.io.obj import load_obj
+
+    with pytest.raises(ValueError, match="no faces"):
+        load_obj(str(p), backend="python")
+
+
+def test_nonfinite_verts_raise(tmp_path):
+    p = tmp_path / "nan.obj"
+    p.write_text("v nan 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    from raytracebvh_tpu.io.obj import load_obj
+
+    with pytest.raises(ValueError, match="non-finite"):
+        load_obj(str(p), backend="python")
