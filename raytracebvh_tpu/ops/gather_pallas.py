@@ -36,8 +36,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+CBLK = 8  # channels per shuffle block: Mosaic rejects [1,128] -> [40,128]
+# broadcasts (non-power-of-two sublane tiling), so shuffle in native
+# 8-sublane blocks
+
+
 def _gather_kernel(tbl_ref, idx_ref, out_ref, scratch, *, width):
-    tbl = tbl_ref[:]  # [C, width]
+    tbl = tbl_ref[:]  # [C, width], C a multiple of CBLK (padded by caller)
     c = tbl.shape[0]
     idx = idx_ref[:]  # [1, block]
     block = idx.shape[1]
@@ -45,19 +50,25 @@ def _gather_kernel(tbl_ref, idx_ref, out_ref, scratch, *, width):
     lane_id = jax.lax.rem(idx, LANES)
     n_src = width // LANES
     for ot in range(block // LANES):
-        tb = jnp.broadcast_to(tile_id[:, ot * LANES:(ot + 1) * LANES], (c, LANES))
-        lb = jnp.broadcast_to(lane_id[:, ot * LANES:(ot + 1) * LANES], (c, LANES))
+        tb = jnp.broadcast_to(tile_id[:, ot * LANES:(ot + 1) * LANES],
+                              (CBLK, LANES))
+        lb = jnp.broadcast_to(lane_id[:, ot * LANES:(ot + 1) * LANES],
+                              (CBLK, LANES))
         t_lo = jnp.min(tb)
         t_hi = jnp.max(tb)
-        scratch[0:c, :] = jnp.zeros((c, LANES), tbl.dtype)
+        scratch[:] = jnp.zeros((c, LANES), tbl.dtype)
         for k in range(n_src):
             @pl.when(jnp.logical_and(t_lo <= k, k <= t_hi))
             def _(k=k, tb=tb, lb=lb):
-                part = jnp.take_along_axis(
-                    tbl[:, k * LANES:(k + 1) * LANES], lb, axis=1
-                )
-                scratch[0:c, :] = jnp.where(tb == k, part, scratch[0:c, :])
-        out_ref[:, ot * LANES:(ot + 1) * LANES] = scratch[0:c, :]
+                for cb in range(0, c, CBLK):
+                    part = jnp.take_along_axis(
+                        tbl[cb:cb + CBLK, k * LANES:(k + 1) * LANES],
+                        lb, axis=1,
+                    )
+                    scratch[cb:cb + CBLK, :] = jnp.where(
+                        tb == k, part, scratch[cb:cb + CBLK, :]
+                    )
+        out_ref[:, ot * LANES:(ot + 1) * LANES] = scratch[:]
 
 
 def _scatter_add_kernel(g_ref, idx_ref, out_ref, *, width):
@@ -79,29 +90,39 @@ def _scatter_add_kernel(g_ref, idx_ref, out_ref, *, width):
 
     tile_id = jax.lax.div(idx, LANES)
     lane_id = jax.lax.rem(idx, LANES)
-    col = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    # Q[s, r] = 1 iff ray r targets lane s (of source tile k):
+    # contract over r on the MXU — scatter-as-matmul, no transposes.
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     for ot in range(block // LANES):
         sl = slice(ot * LANES, (ot + 1) * LANES)
-        tb = tile_id[0, sl]  # [LANES]
-        lb = lane_id[0, sl]
+        tb = tile_id[:, sl]  # [1, LANES]
+        lb = lane_id[:, sl]
         gs = g[:, sl]  # [C, LANES]
         t_lo = jnp.min(tb)
         t_hi = jnp.max(tb)
-        lane_col = jnp.broadcast_to(lb[:, None], (LANES, LANES))
-        tile_row = jnp.broadcast_to(tb[:, None], (LANES, LANES))
+        lane_b = jnp.broadcast_to(lb, (LANES, LANES))  # [s, r] = lane(r)
+        tile_b = jnp.broadcast_to(tb, (LANES, LANES))
         for k in range(n_src):
             @pl.when(jnp.logical_and(t_lo <= k, k <= t_hi))
-            def _(k=k, lane_col=lane_col, tile_row=tile_row, gs=gs):
-                onehot = jnp.where(
-                    (lane_col == col) & (tile_row == k), 1.0, 0.0
+            def _(k=k, lane_b=lane_b, tile_b=tile_b, gs=gs):
+                q = jnp.where(
+                    (lane_b == row_iota) & (tile_b == k), 1.0, 0.0
                 ).astype(gs.dtype)
-                out_ref[:, k * LANES:(k + 1) * LANES] += jnp.dot(
-                    gs, onehot, preferred_element_type=jnp.float32
+                # out[ch, s] += sum_r gs[ch, r] * q[s, r]
+                out_ref[:, k * LANES:(k + 1) * LANES] += jax.lax.dot_general(
+                    gs, q,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
 
 
 def _gather_fwd_impl(tbl, idx, block, interpret):
     c, width = tbl.shape
+    cpad = _round_up(c, CBLK)
+    if cpad != c:
+        tbl = jnp.concatenate(
+            [tbl, jnp.zeros((cpad - c, width), tbl.dtype)], axis=0
+        )
     nrays = idx.shape[0]
     rpad = _round_up(nrays, block)
     # pad with index 0 (harmless: output sliced back to nrays)
@@ -111,16 +132,16 @@ def _gather_fwd_impl(tbl, idx, block, interpret):
         kernel,
         grid=(rpad // block,),
         in_specs=[
-            pl.BlockSpec((c, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cpad, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c, block), lambda i: (0, i),
+        out_specs=pl.BlockSpec((cpad, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, rpad), tbl.dtype),
-        scratch_shapes=[pltpu.VMEM((c, LANES), tbl.dtype)],
+        out_shape=jax.ShapeDtypeStruct((cpad, rpad), tbl.dtype),
+        scratch_shapes=[pltpu.VMEM((cpad, LANES), tbl.dtype)],
         interpret=interpret,
     )(tbl, idx2)
-    return out[:, :nrays]
+    return out[:c, :nrays]
 
 
 def _scatter_add_impl(g, idx, width, block, interpret):

@@ -470,6 +470,178 @@ def traverse_pre_pallas(
     return HitRecord(hit=hit, distance=dist, leaf=leaf)
 
 
+def _traverse_any_pre_kernel(
+    box_ref, tri_ref, o_ref, d_ref, tmax_ref, out_ref, scratch,
+    *, n_leaves, box_width, tri_width, epsilon, max_steps,
+):
+    """Any-hit walk over the pre-order tables (occlusion query for
+    scenes beyond the u16 cap); per-lane early exit on first hit."""
+    box_tbl = box_ref[:]
+    tri_tbl = tri_ref[:]
+
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+    ray_tmax = tmax_ref[0:1, :]
+    idx_ = 1.0 / dx
+    idy_ = 1.0 / dy
+    idz_ = 1.0 / dz
+
+    w = ox.shape[1]
+    root = jnp.zeros((1, w), jnp.int32)
+
+    def cond(state):
+        node, _, step = state
+        return jnp.logical_and(jnp.max(node) >= 0, step < max_steps)
+
+    def body(state):
+        node, occ, step = state
+        live = node >= 0
+        rep = jnp.min(jnp.where(live, node, jnp.int32(2 * n_leaves - 1)))
+        nid = jnp.where(live, node, rep)
+        nid = jnp.maximum(nid, 0)
+
+        row = _gather_cols(box_tbl, nid, box_width, scratch)
+        bminx, bminy, bminz = row[0:1], row[1:2], row[2:3]
+        bmaxx, bmaxy, bmaxz = row[3:4], row[4:5], row[5:6]
+        skipr = pltpu.bitcast(row[6:7], jnp.int32)
+        orig = pltpu.bitcast(row[7:8], jnp.int32)
+
+        t0x = (bminx - ox) * idx_
+        t1x = (bmaxx - ox) * idx_
+        t0y = (bminy - oy) * idy_
+        t1y = (bmaxy - oy) * idy_
+        t0z = (bminz - oz) * idz_
+        t1z = (bmaxz - oz) * idz_
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        nonempty = bminx <= bmaxx
+        bhit = (
+            (0.0 <= tmax) & (tmin <= tmax) & nonempty
+            & (tmin <= ray_tmax) & live
+        )
+
+        is_leaf = orig < n_leaves
+        at_leaf = live & is_leaf & bhit
+
+        def leaf_fn(_):
+            repl = jnp.min(jnp.where(at_leaf, orig, jnp.int32(n_leaves - 1)))
+            lid = jnp.where(at_leaf, orig, repl)
+            lid = jnp.maximum(lid, 0)
+            trow = _gather_cols(tri_tbl, lid, tri_width, scratch)
+            v0x, v0y, v0z = trow[0:1], trow[1:2], trow[2:3]
+            e1x, e1y, e1z = trow[3:4], trow[4:5], trow[5:6]
+            e2x, e2y, e2z = trow[6:7], trow[7:8], trow[8:9]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            det_ok = jnp.abs(det) >= epsilon
+            inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+            u = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (
+                det_ok
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > epsilon)
+                & (t < ray_tmax)
+            )
+            return ok.astype(jnp.int32)
+
+        tri_hit = jax.lax.cond(
+            jnp.any(at_leaf), leaf_fn,
+            lambda _: jnp.zeros((1, w), jnp.int32), None
+        )
+
+        found = at_leaf & (tri_hit > 0)
+        occ = jnp.where(found, 1, occ)
+
+        descend = bhit & jnp.logical_not(is_leaf)
+        nxt = jnp.where(descend, nid + 1, skipr)
+        node = jnp.where(live & jnp.logical_not(found), nxt, jnp.int32(-1))
+        return node, occ, step + 1
+
+    state = (root, jnp.zeros((1, w), jnp.int32), jnp.int32(0))
+    _, occ, _ = jax.lax.while_loop(cond, body, state)
+    out_ref[0:1, :] = pltpu.bitcast(occ, jnp.float32)
+
+
+def traverse_any_pre_pallas(
+    bvh: BVH,
+    rays: Rays,
+    epsilon: float,
+    max_t,
+    max_steps: int = 0,
+    block_rays: int = 1024,
+    interpret: bool | None = None,
+):
+    """Any-hit traversal over the pre-order tables (no u16 leaf cap)."""
+    n = bvh.n_leaves
+    if max_steps <= 0:
+        max_steps = 4 * n
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    box_tbl, tri_tbl = pack_tables_preorder(bvh)
+    box_width = box_tbl.shape[1]
+    tri_width = tri_tbl.shape[1]
+
+    nrays = rays.origin.shape[0]
+    rpad = _round_up(nrays, block_rays)
+    origin = jnp.zeros((3, rpad), jnp.float32).at[:, :nrays].set(
+        rays.origin.astype(jnp.float32).T
+    )
+    direction = jnp.ones((3, rpad), jnp.float32).at[:, :nrays].set(
+        rays.direction.astype(jnp.float32).T
+    )
+    tmax = jnp.full((1, rpad), -1.0, jnp.float32).at[0, :nrays].set(
+        jnp.asarray(max_t, jnp.float32)
+    )
+
+    kernel = functools.partial(
+        _traverse_any_pre_kernel,
+        n_leaves=n,
+        box_width=box_width,
+        tri_width=tri_width,
+        epsilon=epsilon,
+        max_steps=max_steps,
+    )
+    grid = (rpad // block_rays,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, box_width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, tri_width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, rpad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((9, LANES), jnp.float32)],
+        interpret=interpret,
+    )(box_tbl, tri_tbl, origin, direction, tmax)
+
+    return jax.lax.bitcast_convert_type(out[0, :nrays], jnp.int32) > 0
+
+
 def _traverse_any_kernel(
     node_ref, o_ref, d_ref, tmax_ref, out_ref, scratch,
     *, n_leaves, node_width, epsilon, max_steps,

@@ -156,12 +156,20 @@ def _traverse_ids(bvh: BVH, rays: Rays, cfg: RenderConfig) -> HitRecord:
         # TPU (49.8 vs 1.09 Mrays/s at 1080p on Image_Test.obj); off-TPU it
         # would run interpreted, so fall back to the XLA path there.
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if backend == "pallas":
-        from .ops.traverse_pallas import traverse_pallas
+    if backend in ("pallas", "pallas_pre"):
+        from .ops.traverse_pallas import traverse_pallas, traverse_pre_pallas
 
-        rec = traverse_pallas(
-            bvh_ng, rays_ng, cfg.epsilon, cfg.max_traversal_steps
-        )
+        # the u16-link fused table measures ~15% faster at small n
+        # (50.3 vs 43.7 Mrays/s at 3072 leaves); beyond its 32767-leaf
+        # packing cap the pre-order kernel takes over
+        if backend == "pallas_pre" or 2 * bvh_ng.n_leaves >= 0xFFFF:
+            rec = traverse_pre_pallas(
+                bvh_ng, rays_ng, cfg.epsilon, cfg.max_traversal_steps
+            )
+        else:
+            rec = traverse_pallas(
+                bvh_ng, rays_ng, cfg.epsilon, cfg.max_traversal_steps
+            )
         return HitRecord(
             hit=rec.hit,
             distance=jax.lax.stop_gradient(rec.distance),
@@ -229,12 +237,20 @@ def _shadow_vis(bvh: BVH, o3, d3, rec: HitRecord, light3, cfg: RenderConfig):
     backend = cfg.traversal_backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if backend == "pallas":
-        from .ops.traverse_pallas import traverse_any_pallas
-
-        occ = traverse_any_pallas(
-            sg(bvh), rays, cfg.epsilon, max_t, cfg.max_traversal_steps
+    if backend in ("pallas", "pallas_pre"):
+        from .ops.traverse_pallas import (
+            traverse_any_pallas,
+            traverse_any_pre_pallas,
         )
+
+        if backend == "pallas_pre" or 2 * bvh.n_leaves >= 0xFFFF:
+            occ = traverse_any_pre_pallas(
+                sg(bvh), rays, cfg.epsilon, max_t, cfg.max_traversal_steps
+            )
+        else:
+            occ = traverse_any_pallas(
+                sg(bvh), rays, cfg.epsilon, max_t, cfg.max_traversal_steps
+            )
     else:
         from .ops.traverse import traverse_any
 
