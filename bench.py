@@ -1,14 +1,20 @@
 #!/usr/bin/env python
 """Headline benchmark: rays/sec/chip (fwd+bwd) at 1080p on Image_Test.obj.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+Sub-metrics (builds/sec, forward-only, shadow config, roofline accounting)
+go to stderr and to BENCH_DETAIL.json.
 
 The reference publishes no numbers (BASELINE.md: only a runtime FPS print,
-Graphics.cpp:65-92), so the baseline is self-established per BASELINE.json:
-the metric is traced rays per second per chip for a full frame that
-rebuilds the LBVH from scratch, traces primary rays + one reflection
-bounce, and runs the backward pass producing vertex/material gradients.
-Secondary metrics (BVH builds/sec, forward-only rays/sec) go to stderr.
+Graphics.cpp:65-92), so the bar is self-established per BASELINE.json: a
+full frame that rebuilds the LBVH from scratch, traces primary rays + one
+reflection bounce, and runs the backward pass producing vertex/material
+gradients.  BASELINE_RAYS_PER_SEC = 20e6 is the round-1 target (~10
+fwd+bwd 1080p frames/sec); round-1 measured 14.8e6 (BENCH_r01.json).
+
+Roofline: the compiled step's XLA cost analysis gives flops and HBM bytes;
+speed-of-light is max(bytes/HBM_BW, flops/peak).  The hot loops are VPU
+(vector) work, not MXU matmuls, so the compute bound uses the VPU peak.
 """
 
 import json
@@ -18,7 +24,25 @@ import time
 
 import numpy as np
 
-BASELINE_RAYS_PER_SEC = 20.0e6  # self-established round-1 target (see BASELINE.md)
+BASELINE_RAYS_PER_SEC = 20.0e6  # round-1 target; round 1 measured 14.8e6
+ROUND1_RAYS_PER_SEC = 14.8e6  # BENCH_r01.json, for round-over-round delta
+
+# TPU v5e (1 chip) peaks for the roofline print
+HBM_BW = 8.1e11  # bytes/sec
+VPU_F32 = 3.9e12  # flop/sec, vector unit (8x128 lanes)
+MXU_BF16 = 1.97e14
+
+
+def _cost(compiled):
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(
+            ca.get("bytes accessed", 0.0)
+        )
+    except Exception:
+        return 0.0, 0.0
 
 
 def main():
@@ -26,11 +50,13 @@ def main():
     import jax.numpy as jnp
 
     from raytracebvh_tpu import Camera, RenderConfig
-    from raytracebvh_tpu.camera import camera_matrices, orbit
+    from raytracebvh_tpu.camera import camera_matrices
     from raytracebvh_tpu.core.types import scene_to_device
-    from raytracebvh_tpu.models.inverse import apply_params, init_params, loss_fn
+    from raytracebvh_tpu.models.inverse import init_params, loss_fn
     from raytracebvh_tpu.pipeline import build_bvh, render_frame
     from raytracebvh_tpu.utils.assets import find_asset
+
+    detail = {"chip": str(jax.devices()[0]), "backend": jax.default_backend()}
 
     path = find_asset("Image_Test.obj")
     if path is not None:
@@ -44,14 +70,7 @@ def main():
     scene = scene_to_device(scene_h)
 
     width, height, bounces = 1920, 1080, 1
-    cfg = RenderConfig(
-        width=width,
-        height=height,
-        bounces=bounces,
-        # traversal_backend="auto" -> pallas megakernel on TPU;
-        # traversal_chunk only matters for the jnp fallback path
-        traversal_chunk=129600,  # 1920*1080 / 16
-    )
+    cfg = RenderConfig(width=width, height=height, bounces=bounces)
     cam = Camera.default()
     rays_per_frame = width * height * (1 + bounces)
 
@@ -63,21 +82,42 @@ def main():
             jax.block_until_ready(fn(*args))
         return (time.perf_counter() - t0) / iters
 
-    # ---- BVH builds/sec (full morton+sort+karras+fit+links rebuild)
-    @jax.jit
-    def build_fn(scene, cam):
-        wvp, wv = camera_matrices(cam, width, height)
-        return build_bvh(scene, wvp, wv, cfg)
+    # ---- BVH builds/sec (full morton+sort+karras+fit+links rebuild).
+    # The build does not touch textures; a textureless scene arg avoids
+    # paying dispatch overhead for the 25 MB texture stack every call.
+    scene_nt = scene.replace(
+        textures=jnp.zeros((1, 1, 1, 4), jnp.float32),
+        tex_hw=jnp.ones((1, 2), jnp.int32),
+    )
+    wvp, wv = camera_matrices(cam, width, height)
 
-    t_build = timed(build_fn, scene, cam, warmup=1, iters=10)
+    @jax.jit
+    def build_fn(s):
+        return build_bvh(s, wvp, wv, cfg)
+
+    t_build = timed(build_fn, scene_nt, warmup=1, iters=10)
+    detail["bvh_build_ms"] = t_build * 1e3
+    detail["bvh_builds_per_sec"] = 1.0 / t_build
     print(f"# bvh_build: {t_build*1e3:.3f} ms -> {1.0/t_build:.1f} builds/sec "
           f"({scene_h.num_faces} tris)", file=sys.stderr)
 
     # ---- forward-only frame
     fwd = jax.jit(lambda s, c: render_frame(s, c, cfg))
     t_fwd = timed(fwd, scene, cam, warmup=1, iters=3)
+    detail["fwd_ms"] = t_fwd * 1e3
+    detail["fwd_mrays_per_sec"] = rays_per_frame / t_fwd / 1e6
     print(f"# forward frame: {t_fwd*1e3:.1f} ms -> "
           f"{rays_per_frame/t_fwd/1e6:.2f} Mrays/s", file=sys.stderr)
+
+    # ---- shadow config (BASELINE config 3): 1080p shading + shadow rays
+    cfg_sh = cfg.replace(bounces=0, enable_shadows=True)
+    fwd_sh = jax.jit(lambda s, c: render_frame(s, c, cfg_sh))
+    t_sh = timed(fwd_sh, scene, cam, warmup=1, iters=3)
+    sh_rays = width * height * 2  # primary + shadow
+    detail["shadows_ms"] = t_sh * 1e3
+    detail["shadows_mrays_per_sec"] = sh_rays / t_sh / 1e6
+    print(f"# shadows frame: {t_sh*1e3:.1f} ms -> "
+          f"{sh_rays/t_sh/1e6:.2f} Mrays/s (primary+shadow)", file=sys.stderr)
 
     # ---- fwd+bwd (the headline): gradient of the image loss w.r.t.
     # vertex offsets + material colors
@@ -88,8 +128,44 @@ def main():
     ))
     t_step = timed(grad_fn, params, warmup=1, iters=3)
     rays_per_sec = rays_per_frame / t_step
+    detail["fwd_bwd_ms"] = t_step * 1e3
+    detail["fwd_bwd_mrays_per_sec"] = rays_per_sec / 1e6
     print(f"# fwd+bwd frame: {t_step*1e3:.1f} ms -> "
-          f"{rays_per_sec/1e6:.2f} Mrays/s", file=sys.stderr)
+          f"{rays_per_sec/1e6:.2f} Mrays/s "
+          f"(round 1: {ROUND1_RAYS_PER_SEC/1e6:.1f})", file=sys.stderr)
+
+    # ---- roofline accounting for the headline step
+    try:
+        compiled = grad_fn.lower(params).compile()
+        flops, hbm_bytes = _cost(compiled)
+    except Exception:
+        flops, hbm_bytes = 0.0, 0.0
+    if hbm_bytes > 0:
+        t_mem = hbm_bytes / HBM_BW
+        t_cmp = flops / VPU_F32
+        t_light = max(t_mem, t_cmp)
+        bound = "HBM" if t_mem >= t_cmp else "VPU"
+        detail["roofline"] = {
+            "hbm_bytes": hbm_bytes,
+            "flops": flops,
+            "bytes_per_ray": hbm_bytes / rays_per_frame,
+            "t_hbm_ms": t_mem * 1e3,
+            "t_vpu_ms": t_cmp * 1e3,
+            "bound": bound,
+            "pct_of_light": 100.0 * t_light / t_step,
+        }
+        print(
+            f"# roofline: {hbm_bytes/1e9:.2f} GB "
+            f"({hbm_bytes/rays_per_frame:.0f} B/ray), {flops/1e9:.1f} GFLOP "
+            f"-> light {t_light*1e3:.1f} ms ({bound}-bound), "
+            f"running at {100.0*t_light/t_step:.1f}% of light "
+            f"[NB: in-VMEM kernel shuffle work is invisible to this model]",
+            file=sys.stderr,
+        )
+
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=2)
 
     print(json.dumps({
         "metric": "rays_per_sec_fwd_bwd_1080p_image_test",

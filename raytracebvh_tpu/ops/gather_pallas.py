@@ -44,16 +44,17 @@ CBLK = 8  # channels per shuffle block: Mosaic rejects [1,128] -> [40,128]
 def _gather_kernel(tbl_ref, idx_ref, out_ref, scratch, *, width):
     tbl = tbl_ref[:]  # [C, width], C a multiple of CBLK (padded by caller)
     c = tbl.shape[0]
-    idx = idx_ref[:]  # [1, block]
+    # idx arrives pre-broadcast to CBLK sublanes: Mosaic cannot sublane-
+    # broadcast a replicated-layout INPUT vector ([1,128] -> [8,128]
+    # "Invalid input layout"), so the caller materializes the 8 rows
+    idx = idx_ref[:]  # [CBLK, block]
     block = idx.shape[1]
     tile_id = jax.lax.div(idx, LANES)
     lane_id = jax.lax.rem(idx, LANES)
     n_src = width // LANES
     for ot in range(block // LANES):
-        tb = jnp.broadcast_to(tile_id[:, ot * LANES:(ot + 1) * LANES],
-                              (CBLK, LANES))
-        lb = jnp.broadcast_to(lane_id[:, ot * LANES:(ot + 1) * LANES],
-                              (CBLK, LANES))
+        tb = tile_id[:, ot * LANES:(ot + 1) * LANES]  # [CBLK, LANES]
+        lb = lane_id[:, ot * LANES:(ot + 1) * LANES]
         t_lo = jnp.min(tb)
         t_hi = jnp.max(tb)
         scratch[:] = jnp.zeros((c, LANES), tbl.dtype)
@@ -80,7 +81,7 @@ def _scatter_add_kernel(g_ref, idx_ref, out_ref, *, width):
     """
     g = g_ref[:]  # [C, block]
     c = g.shape[0]
-    idx = idx_ref[:]  # [1, block]
+    idx = idx_ref[:]  # [CBLK, block] (pre-broadcast, see _gather_kernel)
     block = idx.shape[1]
     n_src = width // LANES
 
@@ -88,20 +89,23 @@ def _scatter_add_kernel(g_ref, idx_ref, out_ref, *, width):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    tile_id = jax.lax.div(idx, LANES)
+    tile_id = jax.lax.div(idx, LANES)  # [CBLK, block] (pre-broadcast)
     lane_id = jax.lax.rem(idx, LANES)
     # Q[s, r] = 1 iff ray r targets lane s (of source tile k):
     # contract over r on the MXU — scatter-as-matmul, no transposes.
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    reps = LANES // CBLK
     for ot in range(block // LANES):
         sl = slice(ot * LANES, (ot + 1) * LANES)
-        tb = tile_id[:, sl]  # [1, LANES]
+        tb = tile_id[:, sl]  # [CBLK, LANES]
         lb = lane_id[:, sl]
         gs = g[:, sl]  # [C, LANES]
         t_lo = jnp.min(tb)
         t_hi = jnp.max(tb)
-        lane_b = jnp.broadcast_to(lb, (LANES, LANES))  # [s, r] = lane(r)
-        tile_b = jnp.broadcast_to(tb, (LANES, LANES))
+        # sublane-replicate 8 -> 128 (pltpu.repeat; plain broadcast of a
+        # replicated input layout is rejected by Mosaic)
+        lane_b = pltpu.repeat(lb, reps, axis=0)  # [s, r] = lane(r)
+        tile_b = pltpu.repeat(tb, reps, axis=0)
         for k in range(n_src):
             @pl.when(jnp.logical_and(t_lo <= k, k <= t_hi))
             def _(k=k, lane_b=lane_b, tile_b=tile_b, gs=gs):
@@ -125,15 +129,17 @@ def _gather_fwd_impl(tbl, idx, block, interpret):
         )
     nrays = idx.shape[0]
     rpad = _round_up(nrays, block)
-    # pad with index 0 (harmless: output sliced back to nrays)
-    idx2 = jnp.zeros((1, rpad), jnp.int32).at[0, :nrays].set(idx)
+    # pad with index 0 (harmless: output sliced back to nrays); rows
+    # pre-broadcast to CBLK sublanes (see _gather_kernel layout note)
+    idx1 = jnp.zeros((1, rpad), jnp.int32).at[0, :nrays].set(idx)
+    idx2 = jnp.broadcast_to(idx1, (CBLK, rpad))
     kernel = functools.partial(_gather_kernel, width=width)
     out = pl.pallas_call(
         kernel,
         grid=(rpad // block,),
         in_specs=[
             pl.BlockSpec((cpad, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CBLK, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((cpad, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
@@ -148,7 +154,8 @@ def _scatter_add_impl(g, idx, width, block, interpret):
     c = g.shape[0]
     nrays = idx.shape[0]
     rpad = _round_up(nrays, block)
-    idx2 = jnp.full((1, rpad), width - 1, jnp.int32).at[0, :nrays].set(idx)
+    idx1 = jnp.full((1, rpad), width - 1, jnp.int32).at[0, :nrays].set(idx)
+    idx2 = jnp.broadcast_to(idx1, (CBLK, rpad))
     # padding rays carry zero gradient, scatter target irrelevant
     g2 = jnp.zeros((c, rpad), g.dtype).at[:, :nrays].set(g)
     kernel = functools.partial(_scatter_add_kernel, width=width)
@@ -157,7 +164,7 @@ def _scatter_add_impl(g, idx, width, block, interpret):
         grid=(rpad // block,),
         in_specs=[
             pl.BlockSpec((c, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CBLK, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((c, width), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
