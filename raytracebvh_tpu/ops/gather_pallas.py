@@ -72,52 +72,45 @@ def _gather_kernel(tbl_ref, idx_ref, out_ref, scratch, *, width):
         out_ref[:, ot * LANES:(ot + 1) * LANES] = scratch[:]
 
 
-def _scatter_add_kernel(g_ref, idx_ref, out_ref, *, width):
+def _scatter_add_kernel(g_ref, idxcol_ref, out_ref, *, width):
     """out[:, idx[r]] += g[:, r], accumulated across the ray-block grid.
 
-    Scatter-as-matmul: within each 128-ray slice, build the one-hot
-    [LANES_rays, 128_cols] selector for each source tile in the slice's
-    tile range and accumulate g_slice @ onehot on the MXU.
+    Scatter-as-matmul: ONE one-hot selector Q [block, 128] per source
+    tile in the block's tile range, accumulated as g_block @ Q on the
+    MXU.  Large contractions (C x block x 128) keep the MXU utilized —
+    per-128-ray-slice dots measured 2x slower than even XLA's scatter.
+    The index arrives as a COLUMN [block, 1] so the one-hot builds from
+    a natural lane-dim broadcast (no transposes, no replicated-layout
+    sublane broadcasts, both of which Mosaic rejects).
     """
     g = g_ref[:]  # [C, block]
-    c = g.shape[0]
-    idx = idx_ref[:]  # [CBLK, block] (pre-broadcast, see _gather_kernel)
-    block = idx.shape[1]
+    idxc = idxcol_ref[:]  # [block, 1]
+    block = g.shape[1]
     n_src = width // LANES
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    tile_id = jax.lax.div(idx, LANES)  # [CBLK, block] (pre-broadcast)
-    lane_id = jax.lax.rem(idx, LANES)
-    # Q[s, r] = 1 iff ray r targets lane s (of source tile k):
-    # contract over r on the MXU — scatter-as-matmul, no transposes.
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-    reps = LANES // CBLK
-    for ot in range(block // LANES):
-        sl = slice(ot * LANES, (ot + 1) * LANES)
-        tb = tile_id[:, sl]  # [CBLK, LANES]
-        lb = lane_id[:, sl]
-        gs = g[:, sl]  # [C, LANES]
-        t_lo = jnp.min(tb)
-        t_hi = jnp.max(tb)
-        # sublane-replicate 8 -> 128 (pltpu.repeat; plain broadcast of a
-        # replicated input layout is rejected by Mosaic)
-        lane_b = pltpu.repeat(lb, reps, axis=0)  # [s, r] = lane(r)
-        tile_b = pltpu.repeat(tb, reps, axis=0)
-        for k in range(n_src):
-            @pl.when(jnp.logical_and(t_lo <= k, k <= t_hi))
-            def _(k=k, lane_b=lane_b, tile_b=tile_b, gs=gs):
-                q = jnp.where(
-                    (lane_b == row_iota) & (tile_b == k), 1.0, 0.0
-                ).astype(gs.dtype)
-                # out[ch, s] += sum_r gs[ch, r] * q[s, r]
-                out_ref[:, k * LANES:(k + 1) * LANES] += jax.lax.dot_general(
-                    gs, q,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+    tile_col = jax.lax.div(idxc, LANES)  # [block, 1]
+    lane_col = jax.lax.rem(idxc, LANES)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+    t_lo = jnp.min(tile_col)
+    t_hi = jnp.max(tile_col)
+    lane_b = jnp.broadcast_to(lane_col, (block, LANES))
+    tile_b = jnp.broadcast_to(tile_col, (block, LANES))
+    for k in range(n_src):
+        @pl.when(jnp.logical_and(t_lo <= k, k <= t_hi))
+        def _(k=k):
+            q = jnp.where(
+                (lane_b == col_iota) & (tile_b == k), 1.0, 0.0
+            ).astype(g.dtype)
+            # out[ch, s] += sum_r g[ch, r] * q[r, s]
+            out_ref[:, k * LANES:(k + 1) * LANES] += jax.lax.dot_general(
+                g, q,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
 
 def _gather_fwd_impl(tbl, idx, block, interpret):
@@ -154,9 +147,9 @@ def _scatter_add_impl(g, idx, width, block, interpret):
     c = g.shape[0]
     nrays = idx.shape[0]
     rpad = _round_up(nrays, block)
-    idx1 = jnp.full((1, rpad), width - 1, jnp.int32).at[0, :nrays].set(idx)
-    idx2 = jnp.broadcast_to(idx1, (CBLK, rpad))
-    # padding rays carry zero gradient, scatter target irrelevant
+    # padding rays carry zero gradient, scatter target irrelevant;
+    # indices shipped as a column (see _scatter_add_kernel layout note)
+    idxcol = jnp.full((rpad, 1), width - 1, jnp.int32).at[:nrays, 0].set(idx)
     g2 = jnp.zeros((c, rpad), g.dtype).at[:, :nrays].set(g)
     kernel = functools.partial(_scatter_add_kernel, width=width)
     out = pl.pallas_call(
@@ -164,13 +157,13 @@ def _scatter_add_impl(g, idx, width, block, interpret):
         grid=(rpad // block,),
         in_specs=[
             pl.BlockSpec((c, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CBLK, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((c, width), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, width), g.dtype),
         interpret=interpret,
-    )(g2, idx2)
+    )(g2, idxcol)
     return out
 
 
