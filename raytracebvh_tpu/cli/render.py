@@ -41,6 +41,8 @@ def main(argv=None):
     p.add_argument("--light", type=float, nargs=3, default=None,
                    metavar=("X", "Y", "Z"),
                    help="world-space light position for --shadows")
+    p.add_argument("--metrics", default=None,
+                   help="append per-frame metrics as JSONL to this file")
     args = p.parse_args(argv)
 
     import os
@@ -73,21 +75,29 @@ def main(argv=None):
     )
     cam = Camera.default()
 
+    from raytracebvh_tpu.utils.logging import MetricsWriter
+
+    rays_per_frame = cfg.width * cfg.height * (1 + cfg.bounces)
     img = None
     t0 = time.perf_counter()
     frames = 0
     last_print = t0
-    for i in range(args.frames):
-        img = render_frame_jit(scene, cam, cfg)
-        jax.block_until_ready(img)
-        frames += 1
-        now = time.perf_counter()
-        # once-a-second FPS print (reference: Graphics.cpp:65-92)
-        if now - last_print >= 1.0:
-            print(f"FPS: {frames / (now - t0):.2f}")
-            last_print = now
-        if args.frames > 1:
-            cam = orbit(cam, args.orbit_yaw, 0.0)
+    last_t = t0
+    with MetricsWriter(args.metrics) as mw:
+        for i in range(args.frames):
+            img = render_frame_jit(scene, cam, cfg)
+            jax.block_until_ready(img)
+            frames += 1
+            now = time.perf_counter()
+            mw.write("frame", frame=i, ms=(now - last_t) * 1e3,
+                     mrays_per_sec=rays_per_frame / max(now - last_t, 1e-9) / 1e6)
+            last_t = now
+            # once-a-second FPS print (reference: Graphics.cpp:65-92)
+            if now - last_print >= 1.0:
+                print(f"FPS: {frames / (now - t0):.2f}")
+                last_print = now
+            if args.frames > 1:
+                cam = orbit(cam, args.orbit_yaw, 0.0)
     dt = time.perf_counter() - t0
     print(f"rendered {args.frames} frame(s) in {dt:.3f}s "
           f"({args.frames / dt:.2f} FPS)")
