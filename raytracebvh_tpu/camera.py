@@ -86,16 +86,23 @@ def transform_points(points, m):
     """[n,3] @ 4x4 row-vector transform, keeping xyz with NO w-divide
     (reference parity: MortonCodes.hlsl:3-7 takes (float3)mul(...)).
 
-    This runs once per frame as a single MXU matmul, replacing the
-    reference's per-leaf-visit transform (quirk Q7)."""
-    r = points @ m[:3, :3] + m[3, :3]
-    return r
+    Runs once per frame, replacing the reference's per-leaf-visit
+    transform (quirk Q7).  Written as per-column math, NOT a matmul: a
+    [n,3]@[3,3] matmul measured 26.7 ms (vs sub-ms) on TPU — minor-dim-3
+    operands hit XLA's worst tiling path."""
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    cols = [
+        x * m[0, k] + y * m[1, k] + z * m[2, k] + m[3, k] for k in range(3)
+    ]
+    return jnp.stack(cols, axis=-1)
 
 
 def transform_normals(normals, wv):
     """Normals by the 3x3 of worldView (reference:
-    RayTraceTraversal.hlsl:30-31)."""
-    return normals @ wv[:3, :3]
+    RayTraceTraversal.hlsl:30-31).  Column math (see transform_points)."""
+    x, y, z = normals[:, 0], normals[:, 1], normals[:, 2]
+    cols = [x * wv[0, k] + y * wv[1, k] + z * wv[2, k] for k in range(3)]
+    return jnp.stack(cols, axis=-1)
 
 
 def reference_rays(width: int, height: int, ortho_scale: float, dtype=jnp.float32) -> Rays:

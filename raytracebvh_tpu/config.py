@@ -86,6 +86,13 @@ class RenderConfig:
     # elsewhere.  Texture sampling always uses the XLA quad gather (the
     # quad table is tens of MB — HBM-resident by necessity).
     shade_gather_backend: str = "auto"
+    # 'uint8' stores the per-frame texture quad table as UNORM8 — the
+    # reference's own texture format (DevIL loads 8-bit BMP/JPG,
+    # Image.cpp:35-61) — quartering its HBM footprint; measured
+    # perf-neutral (the 2M-row random gather is latency-bound, not
+    # byte-bound), and it kills texture gradients (int cast), so the
+    # default stays float32.
+    texture_dtype: str = "float32"
     max_traversal_steps: int = 0  # 0 = auto (4 * n_leaves, safe upper bound)
     # Traverse rays in sequential chunks of this size (0 = one batch).
     # Bounds the lock-step penalty (one deep ray stalls only its chunk, not

@@ -59,24 +59,35 @@ def triangle_leaves(verts_t, indices, scene_min, scene_max):
     Returns:
       codes [nf] uint32, bbmin [nf,3], bbmax [nf,3], centroid [nf,3].
     """
-    # SoA component gathers: one [nf*3] 1-D gather per coordinate.  The
-    # obvious verts_t[indices] row gather ([nf*3, 3], minor dim 3) is the
-    # slow path on TPU — measured 26.5 ms vs sub-ms for the 1-D form at
-    # nf = 3072, plus a 3-minute XLA compile.
-    fx = verts_t[:, 0][indices].reshape(-1, 3)  # [nf, 3]
-    fy = verts_t[:, 1][indices].reshape(-1, 3)
-    fz = verts_t[:, 2][indices].reshape(-1, 3)
-    bbmin = jnp.stack(
-        [jnp.min(fx, axis=1), jnp.min(fy, axis=1), jnp.min(fz, axis=1)], -1
+    # Pure 1-D column math: both AoS row gathers ([nf*3, 3]) and axis-1
+    # reductions over [nf, 3] hit XLA TPU's worst minor-dim-3 tiling path
+    # (26-29 ms vs sub-ms at nf = 3072, plus minutes-long compiles).
+    # Per corner v and coordinate k this is one strided slice + one 1-D
+    # gather; min/max/mean become elementwise ops over three 1-D arrays.
+    i0, i1, i2 = indices[0::3], indices[1::3], indices[2::3]
+    mins, maxs, cens = [], [], []
+    for k in range(3):
+        col = verts_t[:, k]
+        c0, c1, c2 = col[i0], col[i1], col[i2]
+        mins.append(jnp.minimum(jnp.minimum(c0, c1), c2))
+        maxs.append(jnp.maximum(jnp.maximum(c0, c1), c2))
+        cens.append((c0 + c1 + c2) / 3.0)
+    unit = [
+        (cens[k] - scene_min[k]) / (scene_max[k] - scene_min[k])
+        for k in range(3)
+    ]
+    scaled = [
+        jnp.clip(unit[k] * 1024.0, 0.0, 1023.0).astype(jnp.uint32)
+        for k in range(3)
+    ]
+    codes = (
+        expand_bits10(scaled[0])
+        | (expand_bits10(scaled[1]) << 1)
+        | (expand_bits10(scaled[2]) << 2)
     )
-    bbmax = jnp.stack(
-        [jnp.max(fx, axis=1), jnp.max(fy, axis=1), jnp.max(fz, axis=1)], -1
-    )
-    centroid = jnp.stack(
-        [jnp.mean(fx, axis=1), jnp.mean(fy, axis=1), jnp.mean(fz, axis=1)], -1
-    )
-    unit = (centroid - scene_min) / (scene_max - scene_min)
-    codes = morton_code(unit)
+    bbmin = jnp.stack(mins, -1)
+    bbmax = jnp.stack(maxs, -1)
+    centroid = jnp.stack(cens, -1)
     return codes, bbmin, bbmax, centroid
 
 

@@ -294,6 +294,19 @@ def pack_texture_quads(textures, tex_hw):
     return quads.reshape(t * h * w, 4 * c)
 
 
+def quantize_quads_u8(tex_quads):
+    """[*, 16] float quads in [0,1] -> uint8 (UNORM8).
+
+    The reference's textures ARE 8-bit UNORM (BMP/JPG via DevIL,
+    Image.cpp:35-61; the sampler reads UNORM8), so for 8-bit-sourced
+    textures this is bit-exact with the float path (k/255 -> k -> k/255)
+    while the per-ray quad gather moves 16 bytes instead of 64 — the
+    texture gather is latency/bandwidth-bound on random HBM rows.
+    Not differentiable (int cast); use texture_dtype='float32' to train
+    textures."""
+    return jnp.round(tex_quads * 255.0).astype(jnp.uint8)
+
+
 def sample_texture_quads(tex_quads, tex_hw, tex_id, u, v, hmax, wmax):
     """Bilinear wrap sample via ONE row gather from pack_texture_quads.
 
@@ -319,6 +332,8 @@ def sample_texture_quads(tex_quads, tex_hw, tex_id, u, v, hmax, wmax):
     yi = jnp.where(yi < 0, yi + h.astype(jnp.int32), yi)
     flat = (tid * hmax + yi) * wmax + xi
     q = tex_quads[flat]  # [R, 16] — the one gather
+    if q.dtype == jnp.uint8:  # UNORM8 path (see quantize_quads_u8)
+        q = q.astype(u.dtype) / 255.0
     w00 = (1 - fx) * (1 - fy)
     w10 = fx * (1 - fy)
     w01 = (1 - fx) * fy

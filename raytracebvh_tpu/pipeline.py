@@ -581,6 +581,10 @@ def _shade_rays_one(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig,
     # one quad table per frame, shared by every pass (see
     # ops/shade.pack_texture_quads)
     tex_quads = shade_ops.pack_texture_quads(scene.textures, scene.tex_hw)
+    if cfg.texture_dtype == "uint8":
+        tex_quads = shade_ops.quantize_quads_u8(
+            jax.lax.stop_gradient(tex_quads)
+        )
     color, refl, intensity, refr, refr_int = _launch_soa(
         scene, bvh, o3, d3, cfg, tex_quads, light3
     )

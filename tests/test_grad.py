@@ -13,7 +13,8 @@ from raytracebvh_tpu import Camera, RenderConfig, render_frame
 from raytracebvh_tpu.core.types import scene_to_device
 from raytracebvh_tpu.models.procedural import random_triangles
 
-CFG = RenderConfig(width=24, height=24, bounces=1, dtype="float64")
+CFG = RenderConfig(width=24, height=24, bounces=1, dtype="float64",
+                   texture_dtype="float32")
 
 
 def _loss_fn(scene, cam, cfg, target):

@@ -20,6 +20,7 @@ def _compare(scene_h, w, h, bounces, f64=False, cfg_extra=()):
 
     cfg = RenderConfig(width=w, height=h, bounces=bounces,
                        dtype="float64" if f64 else "float32",
+                       texture_dtype="float32",
                        **dict(cfg_extra))
     dtype = jnp.float64 if f64 else jnp.float32
     scene = scene_to_device(scene_h, dtype=dtype)

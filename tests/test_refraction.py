@@ -27,6 +27,7 @@ def test_refraction_matches_golden_f64():
         import jax.numpy as jnp
 
         cfg = RenderConfig(width=48, height=48, bounces=2, dtype="float64",
+                           texture_dtype="float32",
                            enable_refraction=True, ortho_scale=0.2)
         scene = scene_to_device(scene_h, dtype=jnp.float64)
         cam = Camera.default(jnp.float64)

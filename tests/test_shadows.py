@@ -30,6 +30,7 @@ def _render_pair(scene_h, w, h, f64, shadows):
     cfg = RenderConfig(
         width=w, height=h, bounces=1,
         dtype="float64" if f64 else "float32",
+        texture_dtype="float32",
         enable_shadows=shadows, light_pos=LIGHT,
     )
     scene = scene_to_device(scene_h, dtype=dtype)
