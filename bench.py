@@ -177,12 +177,16 @@ def main():
             "bound": bound,
             "pct_of_light": 100.0 * t_light / t_step,
         }
+        # NB: XLA's bytes estimate counts every pallas_call operand once
+        # per grid step, so whole-BVH-in-VMEM tables are massively
+        # overcounted; treat the HBM bound as an upper bound on traffic,
+        # not a tight light-speed claim.
         print(
-            f"# roofline: {hbm_bytes/1e9:.2f} GB "
-            f"({hbm_bytes/rays_per_frame:.0f} B/ray), {flops/1e9:.1f} GFLOP "
-            f"-> light {t_light*1e3:.1f} ms ({bound}-bound), "
-            f"running at {100.0*t_light/t_step:.1f}% of light "
-            f"[NB: in-VMEM kernel shuffle work is invisible to this model]",
+            f"# roofline (XLA cost model): {hbm_bytes/1e9:.2f} GB upper-"
+            f"bound HBM ({hbm_bytes/rays_per_frame:.0f} B/ray), "
+            f"{flops/1e9:.1f} GFLOP -> nominal light {t_light*1e3:.1f} ms "
+            f"({bound}-bound); measured {t_step*1e3:.1f} ms. In-VMEM "
+            f"shuffle work (the traversal walk) is outside this model.",
             file=sys.stderr,
         )
 
