@@ -125,6 +125,47 @@ def reference_rays(width: int, height: int, ortho_scale: float, dtype=jnp.float3
     return Rays(origin=origin.reshape(-1, 3), direction=direction.reshape(-1, 3))
 
 
+def tile_order(width: int, height: int, tile: int):
+    """Static permutation putting rays in (tile x tile)-pixel tile-major
+    order, plus its inverse.
+
+    Rays that traverse together should be spatially coherent: the Pallas
+    traversal kernels advance a whole lane block in lock-step, so the
+    block's cost is the union of its rays' tree paths.  Row-major order
+    puts 256+ pixels of ONE scanline in a block (a long skinny frustum);
+    tile order packs a 16x16 pixel square — a much tighter path union.
+    This is the ray-coherence analog of the reference's 15x15-pixel
+    threadgroup dispatch (reference: Graphics.cpp:788-792).
+
+    Returns (perm, inv) int32 numpy arrays: ``perm[i]`` is the row-major
+    ray index of the i-th tile-ordered ray, and ``inv`` undoes it
+    (``color_rowmajor = color_tiled[inv]``).  Computed in numpy at trace
+    time — width/height/tile are static config.
+    """
+    import numpy as np
+
+    idx = np.arange(width * height, dtype=np.int64).reshape(height, width)
+    blocks = []
+    for ty in range(0, height, tile):
+        for tx in range(0, width, tile):
+            blocks.append(idx[ty:ty + tile, tx:tx + tile].reshape(-1))
+    perm = np.concatenate(blocks)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int64)
+    return perm.astype(np.int32), inv.astype(np.int32)
+
+
+def permute_rays(rays: Rays, perm) -> Rays:
+    """Apply a ray permutation (SoA column gathers — [R, 3]-minor gathers
+    are the slow path on TPU, see pipeline.py build_bvh)."""
+    o = rays.origin
+    d = rays.direction
+    return Rays(
+        origin=jnp.stack([o[:, k][perm] for k in range(3)], axis=-1),
+        direction=jnp.stack([d[:, k][perm] for k in range(3)], axis=-1),
+    )
+
+
 def perspective_rays(cam: Camera, width: int, height: int, dtype=jnp.float32) -> Rays:
     """World-space pinhole rays (extension beyond the reference; its
     perspective only ever comes from the WVP applied to vertices)."""

@@ -44,12 +44,17 @@ class RenderConfig:
         (clip-space, no w-divide) geometry, matching the reference exactly
         (reference: RayTraceLaunch.hlsl:23-27 + Graphics.cpp:50-53, quirks
         Q1/Q3 in SURVEY.md); 'perspective' = pinhole rays in world space.
-      traversal_backend: 'auto' (pallas on TPU — measured 45x faster than
-        the XLA while_loop at 1080p — jnp elsewhere), 'jnp' (XLA
-        while_loop) or 'pallas' (fused TPU kernel, interpreted off-TPU).
-      sort_backend: 'lax' (one fused jax.lax.sort — the TPU-idiomatic
-        path) or 'radix' (the reference's 32-dispatch 1-bit LSD radix
-        sort, algorithm-for-algorithm; reference: RadixSortP1/P2.hlsl).
+      traversal_backend: 'auto' (on TPU: the fused u16 Pallas kernel below
+        the 32767-leaf cap, the HBM windowed sweep above it; 'jnp'
+        elsewhere), 'jnp' (XLA while_loop), 'pallas' (fused u16 VMEM
+        kernel), 'pallas_pre' (pre-order gather kernel) or 'hbm'
+        (alias 'sweep': HBM-resident windowed rank sweep — no VMEM scene
+        ceiling, built for 100k+ leaves, see ops/traverse_hbm.py).
+      sort_backend: 'auto' (in-VMEM Pallas bitonic kernel on TPU, lax
+        elsewhere), 'lax' (one fused jax.lax.sort), 'bitonic' (the
+        whole-problem-in-VMEM Pallas network, ops/sort_pallas.py) or
+        'radix' (the reference's 32-dispatch 1-bit LSD radix sort,
+        algorithm-for-algorithm; reference: RadixSortP1/P2.hlsl).
       dtype: compute dtype for geometry / shading.
     """
 
@@ -94,6 +99,13 @@ class RenderConfig:
     # default stays float32.
     texture_dtype: str = "float32"
     max_traversal_steps: int = 0  # 0 = auto (4 * n_leaves, safe upper bound)
+    # Trace rays in (ray_tile x ray_tile)-pixel tile-major order instead of
+    # row-major scanline order (0 = row-major).  A lane block in the Pallas
+    # traversal kernels pays the union of its rays' tree paths; square
+    # pixel tiles keep that union tight — the coherence analog of the
+    # reference's 15x15 threadgroup dispatch (Graphics.cpp:788-792).  Pure
+    # data permutation: images are bit-identical either way.
+    ray_tile: int = 0
     # Traverse rays in sequential chunks of this size (0 = one batch).
     # Bounds the lock-step penalty (one deep ray stalls only its chunk, not
     # the whole frame) and the live-state footprint for multi-megapixel

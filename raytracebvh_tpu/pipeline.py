@@ -50,13 +50,23 @@ def build_bvh(scene: Scene, wvp, wv, cfg: RenderConfig) -> BVH:
     verts_t = transform_points(scene.verts.astype(dtype), wvp.astype(dtype))
     normals_t = transform_normals(scene.normals.astype(dtype), wv.astype(dtype))
 
-    nf = scene.num_faces
-    n = _pad_count(nf, cfg.leaf_pad_multiple)
-
     smin, smax = morton_ops.scene_aabb(verts_t)
     codes, lmin, lmax, _ = morton_ops.triangle_leaves(
         verts_t, scene.indices, smin, smax
     )
+    return assemble_bvh(scene, verts_t, normals_t, codes, lmin, lmax, cfg)
+
+
+def assemble_bvh(scene: Scene, verts_t, normals_t, codes, lmin, lmax,
+                 cfg: RenderConfig) -> BVH:
+    """Sort + Karras + AABB fit + links + leaf-attr pack from per-face
+    leaf data (face-id order).  Split out of ``build_bvh`` so the
+    geometry-sharded path can run the leaf stage (transform + morton +
+    leaf AABBs) on its shards and all-gather only the leaf arrays
+    (parallel/render.render_geo_sharded)."""
+    dtype = jnp.dtype(cfg.dtype)
+    nf = scene.num_faces
+    n = _pad_count(nf, cfg.leaf_pad_multiple)
 
     # pad to the static leaf count with sentinel codes + empty boxes
     pad = n - nf
@@ -72,8 +82,17 @@ def build_bvh(scene: Scene, wvp, wv, cfg: RenderConfig) -> BVH:
         ]
     )
 
-    if cfg.sort_backend == "radix":
+    sort_backend = cfg.sort_backend
+    if sort_backend == "auto":
+        # the in-VMEM bitonic kernel beats XLA's sort on TPU; it is a
+        # Pallas kernel, so interpret-mode overhead rules it out off-TPU
+        sort_backend = "bitonic" if jax.default_backend() == "tpu" else "lax"
+    if sort_backend == "radix":
         sorted_codes, order = sort_ops.radix_sort_by_code(codes)
+    elif sort_backend == "bitonic":
+        from .ops.sort_pallas import bitonic_sort_by_code
+
+        sorted_codes, order = bitonic_sort_by_code(codes)
     else:
         sorted_codes, order = sort_ops.sort_by_code(codes)
     # SoA gathers throughout: TPU gathers of [*, 3]-minor arrays are the
@@ -156,13 +175,24 @@ def _traverse_ids(bvh: BVH, rays: Rays, cfg: RenderConfig) -> HitRecord:
         # TPU (49.8 vs 1.09 Mrays/s at 1080p on Image_Test.obj); off-TPU it
         # would run interpreted, so fall back to the XLA path there.
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if backend in ("pallas", "pallas_pre"):
+    if backend in ("pallas", "pallas_pre", "sweep", "hbm"):
         from .ops.traverse_pallas import traverse_pallas, traverse_pre_pallas
 
         # the u16-link fused table measures ~15% faster at small n
         # (50.3 vs 43.7 Mrays/s at 3072 leaves); beyond its 32767-leaf
-        # packing cap the pre-order kernel takes over
-        if backend == "pallas_pre" or 2 * bvh_ng.n_leaves >= 0xFFFF:
+        # packing cap the HBM windowed sweep takes over (double-buffered
+        # window DMA, no per-lane tree gathers, no VMEM scene ceiling —
+        # the pre-order gather kernel collapses with divergence at 100k+
+        # leaves: 0.02 Mrays/s, BENCH_NOTES round 2)
+        if backend == "pallas" and 2 * bvh_ng.n_leaves >= 0xFFFF:
+            backend = "hbm"
+        if backend in ("hbm", "sweep"):  # 'sweep' = the windowed rank sweep
+            from .ops.traverse_hbm import traverse_hbm_pallas
+
+            rec = traverse_hbm_pallas(
+                bvh_ng, rays_ng, cfg.epsilon, cfg.max_traversal_steps
+            )
+        elif backend == "pallas_pre":
             rec = traverse_pre_pallas(
                 bvh_ng, rays_ng, cfg.epsilon, cfg.max_traversal_steps
             )
@@ -237,13 +267,21 @@ def _shadow_vis(bvh: BVH, o3, d3, rec: HitRecord, light3, cfg: RenderConfig):
     backend = cfg.traversal_backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if backend in ("pallas", "pallas_pre"):
+    if backend in ("pallas", "pallas_pre", "sweep", "hbm"):
         from .ops.traverse_pallas import (
             traverse_any_pallas,
             traverse_any_pre_pallas,
         )
 
-        if backend == "pallas_pre" or 2 * bvh.n_leaves >= 0xFFFF:
+        if backend == "pallas" and 2 * bvh.n_leaves >= 0xFFFF:
+            backend = "hbm"
+        if backend in ("hbm", "sweep"):
+            from .ops.traverse_hbm import traverse_any_hbm_pallas
+
+            occ = traverse_any_hbm_pallas(
+                sg(bvh), rays, cfg.epsilon, max_t, cfg.max_traversal_steps
+            )
+        elif backend == "pallas_pre":
             occ = traverse_any_pre_pallas(
                 sg(bvh), rays, cfg.epsilon, max_t, cfg.max_traversal_steps
             )
@@ -275,7 +313,17 @@ def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord,
     leaf = rec.leaf
     backend = cfg.shade_gather_backend if cfg is not None else "xla"
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # capability guard: gather_rows pins the whole [40, n] attribute
+        # table in VMEM (gather_pallas.py _gather_fwd_impl) — ~160 bytes
+        # per leaf.  Beyond ~32k leaves (5 MB + ray blocks) that thrashes
+        # or fails on a 16 MB core, so large scenes take the XLA row
+        # gather (HBM-resident, per-op cost amortized by the packed row).
+        fits_vmem = bvh.leaf_attrs.shape[0] <= 32768
+        backend = (
+            "pallas"
+            if (jax.default_backend() == "tpu" and fits_vmem)
+            else "xla"
+        )
     if backend == "pallas":
         from .ops.gather_pallas import gather_rows
 
@@ -565,7 +613,16 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
     light3 = None
     if cfg.enable_shadows:
         light3 = light_in_ray_space(cfg, wvp, jnp.dtype(cfg.dtype))
-    color = shade_rays(scene, bvh, rays, cfg, light3)
+    if cfg.ray_tile > 0:
+        from .camera import permute_rays, tile_order
+
+        perm, inv = tile_order(cfg.width, cfg.height, cfg.ray_tile)
+        rays = permute_rays(rays, jnp.asarray(perm))
+        color = shade_rays(scene, bvh, rays, cfg, light3)
+        inv = jnp.asarray(inv)
+        color = jnp.stack([color[:, c][inv] for c in range(4)], axis=-1)
+    else:
+        color = shade_rays(scene, bvh, rays, cfg, light3)
     return color.reshape(cfg.height, cfg.width, 4)
 
 

@@ -1,0 +1,45 @@
+"""Ray tile-ordering (cfg.ray_tile): a pure permutation of trace order.
+
+Square pixel tiles keep a traversal lane-block's tree-path union tight —
+the coherence analog of the reference's 15x15 threadgroup dispatch
+(reference: Graphics.cpp:788-792).  The image must be bit-identical to
+row-major tracing.
+"""
+
+import numpy as np
+
+from raytracebvh_tpu import Camera, RenderConfig, render_frame_jit
+from raytracebvh_tpu.core.types import scene_to_device
+from raytracebvh_tpu.models.procedural import random_triangles
+
+
+def test_ray_tile_order_identical_image():
+    scene = scene_to_device(random_triangles(150, seed=11, with_texture=True))
+    cam = Camera.default()
+    base = RenderConfig(width=48, height=32, bounces=1)
+    img_row = np.asarray(render_frame_jit(scene, cam, base))
+    img_tile = np.asarray(
+        render_frame_jit(scene, cam, base.replace(ray_tile=16))
+    )
+    np.testing.assert_array_equal(img_tile, img_row)
+
+
+def test_ray_tile_with_shadows_and_chunks():
+    """Tile order composes with shadows and ray chunking."""
+    scene = scene_to_device(random_triangles(100, seed=3, with_texture=True))
+    cam = Camera.default()
+    base = RenderConfig(width=32, height=32, bounces=1, enable_shadows=True)
+    img_row = np.asarray(render_frame_jit(scene, cam, base))
+    img_tile = np.asarray(render_frame_jit(
+        scene, cam, base.replace(ray_tile=8, ray_chunk=256)
+    ))
+    np.testing.assert_array_equal(img_tile, img_row)
+
+
+def test_tile_order_perm_inverse():
+    from raytracebvh_tpu.camera import tile_order
+
+    for w, h, t in ((48, 32, 16), (30, 20, 8), (17, 13, 16)):
+        perm, inv = tile_order(w, h, t)
+        assert np.array_equal(np.sort(perm), np.arange(w * h))
+        assert np.array_equal(perm[inv], np.arange(w * h))
