@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 RAYS_AXIS = "rays"
 GEO_AXIS = "geo"
+DCN_AXIS = "dcn"  # host boundary: collectives crossing it ride DCN, not ICI
 
 
 def initialize_distributed(**kwargs) -> None:
@@ -45,6 +46,34 @@ def make_mesh(n_devices: Optional[int] = None, geo: int = 1) -> Mesh:
     assert n % geo == 0, f"{n} devices not divisible by geo={geo}"
     arr = np.array(devs[:n]).reshape(n // geo, geo)
     return Mesh(arr, (RAYS_AXIS, GEO_AXIS))
+
+
+def make_host_mesh(geo: int = 1) -> Mesh:
+    """A ('dcn', 'rays', 'geo') mesh: outer axis = host (process)
+    boundary, inner axes = each host's local devices over ICI.
+
+    Layout rule (SURVEY.md section 2.3 / the scaling-book recipe): the
+    bandwidth-hungry collectives must ride ICI, so 'geo' (geometry
+    all-gather) and the first stage of the gradient reduction are inner
+    axes; only the small cross-host gradient combine crosses 'dcn'.
+    Rays shard over ('dcn', 'rays') together — embarrassingly parallel,
+    so the host boundary costs nothing in the forward pass.
+    """
+    nproc = jax.process_count()
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    n = len(devs)
+    local = n // nproc
+    assert local % geo == 0, f"{local} local devices not divisible by geo={geo}"
+    arr = np.array(devs).reshape(nproc, local // geo, geo)
+    return Mesh(arr, (DCN_AXIS, RAYS_AXIS, GEO_AXIS))
+
+
+def ray_axes(mesh: Mesh):
+    """The mesh axes the ray (data-parallel) dimension shards over:
+    ('dcn', 'rays') on a host mesh, 'rays' on a flat mesh."""
+    if DCN_AXIS in mesh.axis_names:
+        return (DCN_AXIS, RAYS_AXIS)
+    return RAYS_AXIS
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

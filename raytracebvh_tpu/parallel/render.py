@@ -43,7 +43,7 @@ from ..pipeline import (
     shade_rays,
 )
 from ..camera import camera_matrices
-from .mesh import GEO_AXIS, RAYS_AXIS, ray_sharded, replicated
+from .mesh import GEO_AXIS, RAYS_AXIS, ray_axes, ray_sharded, replicated
 
 
 def render_sharded(scene: Scene, camera: Camera, cfg: RenderConfig, mesh: Mesh):
@@ -53,7 +53,7 @@ def render_sharded(scene: Scene, camera: Camera, cfg: RenderConfig, mesh: Mesh):
     def _render(scene, camera, cfg):
         img = render_frame(scene, camera, cfg)
         return jax.lax.with_sharding_constraint(
-            img, NamedSharding(mesh, P(RAYS_AXIS, None, None))
+            img, NamedSharding(mesh, P(ray_axes(mesh), None, None))
         )
 
     scene = jax.device_put(scene, replicated(mesh))
@@ -96,14 +96,44 @@ def render_geo_sharded(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(geo_spec, P(), P(), Rays(origin=P(RAYS_AXIS), direction=P(RAYS_AXIS))),
-        out_specs=P(RAYS_AXIS),
+        in_specs=(geo_spec, P(), P(),
+                  Rays(origin=P(ray_axes(mesh)), direction=P(ray_axes(mesh)))),
+        out_specs=P(ray_axes(mesh)),
         check_vma=False,
     )
     def _tile(scene_shard: Scene, wvp, wv, rays_tile: Rays):
-        # geometry all-gather over ICI (BASELINE.md: "triangles ...
-        # sharded with an all-gather"); replaces nothing in the reference
-        # — it has no multi-device path at all (SURVEY.md 2.3).
+        # Sharded LEAF STAGE: each device transforms only its vertex
+        # shard and computes morton codes + leaf AABBs only for its face
+        # shard; the all-gathers ship *derived* leaf arrays over ICI
+        # (BASELINE.md: "triangles ... sharded with an all-gather"; the
+        # reference has no multi-device path at all, SURVEY.md 2.3).
+        # Only the sort/topology/fit/link assembly stays replicated.
+        from ..camera import transform_normals, transform_points
+        from ..ops import morton as morton_ops
+        from ..pipeline import assemble_bvh
+
+        dtype = jnp.dtype(cfg.dtype)
+        vt_l = transform_points(scene_shard.verts.astype(dtype),
+                                wvp.astype(dtype))
+        nt_l = transform_normals(scene_shard.normals.astype(dtype),
+                                 wv.astype(dtype))
+        # scene AABB: local reduction + min/max all-reduce over ICI
+        smin_l, smax_l = morton_ops.scene_aabb(vt_l)
+        smin = jax.lax.pmin(smin_l, GEO_AXIS)
+        smax = jax.lax.pmax(smax_l, GEO_AXIS)
+
+        verts_t = jax.lax.all_gather(vt_l, GEO_AXIS, tiled=True)
+        normals_t = jax.lax.all_gather(nt_l, GEO_AXIS, tiled=True)
+
+        # per-face leaf stage on the LOCAL face shard (faces index the
+        # gathered vertex table — OBJ indices are global)
+        codes_l, lmin_l, lmax_l, _ = morton_ops.triangle_leaves(
+            verts_t, scene_shard.indices, smin, smax
+        )
+        codes = jax.lax.all_gather(codes_l, GEO_AXIS, tiled=True)
+        lmin = jax.lax.all_gather(lmin_l, GEO_AXIS, tiled=True)
+        lmax = jax.lax.all_gather(lmax_l, GEO_AXIS, tiled=True)
+
         full = Scene(
             verts=jax.lax.all_gather(scene_shard.verts, GEO_AXIS, tiled=True),
             normals=jax.lax.all_gather(scene_shard.normals, GEO_AXIS, tiled=True),
@@ -114,7 +144,7 @@ def render_geo_sharded(
             textures=scene_shard.textures,
             tex_hw=scene_shard.tex_hw,
         )
-        bvh = build_bvh(full, wvp, wv, cfg)
+        bvh = assemble_bvh(full, verts_t, normals_t, codes, lmin, lmax, cfg)
         return _trace_tile(full, bvh, rays_tile, cfg, wvp)
 
     color = jax.jit(_tile)(scene, wvp, wv, rays)
@@ -129,6 +159,7 @@ def train_step_sharded(
     target,
     cfg: RenderConfig,
     mesh: Mesh,
+    grad_chunks: int = 1,
 ):
     """One inverse-rendering step: returns (loss, grads) with grads
     pmean'd over every mesh axis (the distributed backward pass of
@@ -138,6 +169,14 @@ def train_step_sharded(
       params: pytree of optimizable parameters (replicated).
       scene_fn: (params, scene) -> Scene applying params.
       target: [H, W, 4] target image (ray-sharded over rows).
+      grad_chunks: > 1 splits the local ray tile into that many chunks
+        and runs fwd+bwd+psum per chunk inside one ``lax.scan`` — each
+        chunk's gradient all-reduce is issued while the NEXT chunk's
+        backward is still computing, so XLA's latency-hiding scheduler
+        overlaps collective and compute (BASELINE north star: "psum
+        overlapped with the backward traversal").  Bit-equal gradients
+        to grad_chunks=1 up to summation order; costs one LBVH-build
+        recompute per chunk, so use it when rays dominate the step.
     """
     wvp, wv = camera_matrices(camera, cfg.width, cfg.height)
     rays = make_rays(camera, cfg)
@@ -151,25 +190,56 @@ def train_step_sharded(
             jax.tree_util.tree_map(lambda _: P(), scene),
             P(),
             P(),
-            Rays(origin=P(RAYS_AXIS), direction=P(RAYS_AXIS)),
-            P(RAYS_AXIS),
+            Rays(origin=P(ray_axes(mesh)), direction=P(ray_axes(mesh))),
+            P(ray_axes(mesh)),
         ),
         out_specs=(P(), P()),
         check_vma=False,
     )
     def _step(params, scene, wvp, wv, rays_tile, target_tile):
-        def local_loss(p):
-            s = scene_fn(p, scene)
-            bvh = build_bvh(s, wvp, wv, cfg)
-            color = _trace_tile(s, bvh, rays_tile, cfg, wvp)
-            return jnp.mean((color - target_tile) ** 2)
+        def chunk_grad(rays_c, target_c):
+            def local_loss(p):
+                s = scene_fn(p, scene)
+                bvh = build_bvh(s, wvp, wv, cfg)
+                color = _trace_tile(s, bvh, rays_c, cfg, wvp)
+                return jnp.mean((color - target_c) ** 2)
 
-        loss, grads = jax.value_and_grad(local_loss)(params)
-        # gradient all-reduce over ICI (data-parallel psum/pmean)
-        grads = jax.lax.pmean(grads, RAYS_AXIS)
-        grads = jax.lax.pmean(grads, GEO_AXIS)
-        loss = jax.lax.pmean(loss, RAYS_AXIS)
-        loss = jax.lax.pmean(loss, GEO_AXIS)
+            loss, grads = jax.value_and_grad(local_loss)(params)
+            # gradient all-reduce: innermost (ICI) axes first so the
+            # bulk of the ring stays on-chip interconnect; the 'dcn'
+            # stage (host mesh) combines already-reduced values
+            for ax in reversed(mesh.axis_names):
+                grads = jax.lax.pmean(grads, ax)
+                loss = jax.lax.pmean(loss, ax)
+            return loss, grads
+
+        if grad_chunks <= 1:
+            return chunk_grad(rays_tile, target_tile)
+
+        nloc = rays_tile.origin.shape[0]
+        assert nloc % grad_chunks == 0, (
+            f"grad_chunks {grad_chunks} must divide local rays {nloc}"
+        )
+        csz = nloc // grad_chunks
+        rays_cs = jax.tree_util.tree_map(
+            lambda x: x.reshape((grad_chunks, csz) + x.shape[1:]), rays_tile
+        )
+        target_cs = target_tile.reshape(grad_chunks, csz, 4)
+
+        def body(acc, xs):
+            acc_loss, acc_grads = acc
+            loss, grads = chunk_grad(*xs)  # pmean INSIDE the scan step:
+            # the collective for chunk i overlaps chunk i+1's backward
+            acc_grads = jax.tree_util.tree_map(
+                lambda a, g: a + g / grad_chunks, acc_grads, grads
+            )
+            return (acc_loss + loss / grad_chunks, acc_grads), None
+
+        zero = (
+            jnp.float32(0.0),
+            jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+        (loss, grads), _ = jax.lax.scan(body, zero, (rays_cs, target_cs))
         return loss, grads
 
     return jax.jit(_step)(params, scene, wvp, wv, rays, target_flat)

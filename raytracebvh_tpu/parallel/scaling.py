@@ -62,6 +62,63 @@ def comm_volume_per_device(scene: Scene, params, mesh) -> Dict[str, float]:
     }
 
 
+# Interconnect peaks for the predictive model (stated assumptions, not
+# measurements: single-chip environment).  v5e: 400 Gbps ICI links per
+# chip -> ~5e10 B/s usable; DCN: 200 Gbps host NIC -> ~2.5e10 B/s.
+ICI_BW = 5.0e10
+DCN_BW = 2.5e10
+
+
+def predict_multihost_efficiency(
+    scene: Scene,
+    params,
+    step_s_one_chip: float,
+    hosts: int = 4,
+    local_devices: int = 4,
+    geo: int = 1,
+    ici_bw: float = ICI_BW,
+    dcn_bw: float = DCN_BW,
+) -> Dict[str, float]:
+    """Quantitative argument for the ">=80% rays/s at 4 hosts" target on
+    a ('dcn','rays','geo') mesh, from measured single-chip step time +
+    analytic collective volumes vs link bandwidths.
+
+    Model (weak scaling, rays grow with devices): per step each device
+    moves (a) the geometry all-gather over the inner 'geo' ICI axis and
+    (b) a hierarchical gradient all-reduce — ring reduce-scatter +
+    all-gather within the host over ICI (2*B*(l-1)/l bytes), then a
+    cross-host combine over DCN on the 1/l-sized shard
+    (2*(B/l)*(h-1)/h bytes).  Efficiency = t_step / (t_step + t_exposed);
+    with the grad_chunks overlap schedule t_exposed shrinks toward
+    max(0, t_comm - t_bwd) — both bounds are reported.
+    """
+    l, h = local_devices, hosts
+    geo_arrays = (scene.verts, scene.normals, scene.uv, scene.indices,
+                  scene.mat_index)
+    geo_bytes = _tree_bytes(geo_arrays)
+    b = _tree_bytes(params)
+    ici_bytes = geo_bytes * (geo - 1) / max(1, geo) + 2.0 * b * (l - 1) / l
+    dcn_bytes = 2.0 * (b / l) * (h - 1) / h
+    t_comm = ici_bytes / ici_bw + dcn_bytes / dcn_bw
+    eff_serial = step_s_one_chip / (step_s_one_chip + t_comm)
+    # overlapped bound: backward is ~60% of the step and can hide the
+    # collectives issued per grad chunk (train_step_sharded grad_chunks)
+    t_exposed = max(0.0, t_comm - 0.6 * step_s_one_chip)
+    eff_overlap = step_s_one_chip / (step_s_one_chip + t_exposed)
+    return {
+        "hosts": h,
+        "local_devices": l,
+        "ici_bytes_per_device": ici_bytes,
+        "dcn_bytes_per_device": dcn_bytes,
+        "t_comm_ms": t_comm * 1e3,
+        "step_ms_one_chip": step_s_one_chip * 1e3,
+        "efficiency_serial_bound": eff_serial,
+        "efficiency_overlapped_bound": eff_overlap,
+        "assumed_ici_bw": ici_bw,
+        "assumed_dcn_bw": dcn_bw,
+    }
+
+
 def weak_scaling_sweep(
     max_devices: int,
     rows_per_device: int = 8,
@@ -94,17 +151,25 @@ def weak_scaling_sweep(
         params = init_params(scene)
         target = jnp.zeros((height, width, 4), jnp.float32)
 
-        def step():
+        def step(chunks=1):
             return train_step_sharded(
-                params, apply_params, scene, cam, target, cfg, mesh
+                params, apply_params, scene, cam, target, cfg, mesh,
+                grad_chunks=chunks,
             )
 
-        jax.block_until_ready(step())  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = step()
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
+        def timeit(chunks):
+            jax.block_until_ready(step(chunks))  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = step(chunks)
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / iters
+
+        dt = timeit(1)
+        # overlapped-collective schedule (per-chunk psum inside lax.scan;
+        # see train_step_sharded grad_chunks) — the delta vs step_ms is
+        # the overlap win (or the recompute cost, on comm-free meshes)
+        dt_ov = timeit(2) if d > 1 else dt
 
         rays = width * height * (1 + bounces)
         rec = {
@@ -113,6 +178,7 @@ def weak_scaling_sweep(
             "tris": ntris,
             "rays_per_step": rays,
             "step_ms": dt * 1e3,
+            "step_ms_overlapped": dt_ov * 1e3,
             "rays_per_sec": rays / dt,
             **comm_volume_per_device(scene, params, mesh),
         }

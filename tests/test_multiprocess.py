@@ -48,6 +48,19 @@ _WORKER = textwrap.dedent(
     gnorm = float(sum(jnp.sum(g * g)
                       for g in jax.tree_util.tree_leaves(grads)))
     print(f"RESULT {pid} {float(loss):.9f} {gnorm:.9f}", flush=True)
+
+    # host mesh: 'dcn' axis = the real process boundary (Gloo); the
+    # gradient pmean's cross-host stage actually crosses processes
+    from raytracebvh_tpu.parallel.mesh import make_host_mesh
+    hmesh = make_host_mesh(geo=2)  # ('dcn','rays','geo') = (2,1,2)
+    scene_h = jax.device_put(scene, replicated(hmesh))
+    params_h = jax.device_put(params, replicated(hmesh))
+    loss_h, grads_h = train_step_sharded(
+        params_h, apply_params, scene_h, Camera.default(), target, cfg, hmesh
+    )
+    gnorm_h = float(sum(jnp.sum(g * g)
+                        for g in jax.tree_util.tree_leaves(grads_h)))
+    print(f"RESULT_HOST {pid} {float(loss_h):.9f} {gnorm_h:.9f}", flush=True)
     """
 )
 
@@ -69,11 +82,15 @@ def test_two_process_train_step(tmp_path):
         for i in range(2)
     ]
     results = {}
+    results_host = {}
     for i, p in enumerate(procs):
         out, _ = p.communicate(timeout=300)
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         for line in out.splitlines():
-            if line.startswith("RESULT"):
+            if line.startswith("RESULT_HOST"):
+                _, pid, loss, gnorm = line.split()
+                results_host[int(pid)] = (float(loss), float(gnorm))
+            elif line.startswith("RESULT"):
                 _, pid, loss, gnorm = line.split()
                 results[int(pid)] = (float(loss), float(gnorm))
     assert set(results) == {0, 1}
@@ -81,3 +98,9 @@ def test_two_process_train_step(tmp_path):
     assert results[0] == results[1]
     assert np.isfinite(results[0][0])
     assert results[0][1] > 0.0, "gradients should be nonzero"
+    # the ('dcn','rays','geo') host mesh agrees across processes and with
+    # the flat mesh (the dcn pmean stage crossed a real process boundary)
+    assert set(results_host) == {0, 1}
+    assert results_host[0] == results_host[1]
+    np.testing.assert_allclose(results_host[0][0], results[0][0], rtol=1e-6)
+    np.testing.assert_allclose(results_host[0][1], results[0][1], rtol=1e-5)
