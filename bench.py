@@ -157,6 +157,102 @@ def main():
           f"{rays_per_sec/1e6:.2f} Mrays/s "
           f"(round 1: {ROUND1_RAYS_PER_SEC/1e6:.1f})", file=sys.stderr)
 
+    # ---- LARGE scene (BASELINE config 5 class): 102 400 tris, 1080p.
+    # First-class so round-over-round progress is driver-visible.
+    from raytracebvh_tpu.camera import permute_rays, tile_order
+    from raytracebvh_tpu.models.procedural import sphere_grid
+    from raytracebvh_tpu.ops.traverse_hbm import traverse_hbm_pallas
+    from raytracebvh_tpu.pipeline import make_rays
+
+    large = {}
+    try:
+        scene_l = scene_to_device(sphere_grid(nx=4, ny=4, subdiv=40))
+        large["tris"] = int(scene_l.num_faces)
+
+        def build_digest_l(s, yaw):
+            c = jnp.cos(yaw)
+            w2 = wvp.at[0, 0].mul(c)
+            b = build_bvh(s, w2, wv, cfg)
+            return b.bbmin[s.num_faces].sum() + b.skip_link.sum()
+
+        def builds_l(k):
+            @jax.jit
+            def f(s):
+                def step(acc, yaw):
+                    return acc + build_digest_l(s, yaw), None
+                acc, _ = jax.lax.scan(
+                    step, jnp.float32(0.0), jnp.linspace(0.0, 0.1, k)
+                )
+                return acc
+            return f
+
+        tl1 = timed(builds_l(1), scene_l, warmup=1, iters=3)
+        tl5 = timed(builds_l(5), scene_l, warmup=1, iters=3)
+        t_build_l = max((tl5 - tl1) / 4.0, 1e-9)
+        large["build_ms"] = t_build_l * 1e3
+        large["builds_per_sec"] = 1.0 / t_build_l
+
+        # traversal: HBM windowed sweep, tile-ordered primary rays
+        bvh_l = jax.jit(lambda s: build_bvh(s, wvp, wv, cfg))(scene_l)
+        perm, _ = tile_order(width, height, 16)
+        rays_l = permute_rays(make_rays(cam, cfg), jnp.asarray(perm))
+        f_tr = jax.jit(lambda b, r: traverse_hbm_pallas(
+            b, r, cfg.epsilon, return_steps=True))
+        t_tr = timed(f_tr, bvh_l, rays_l, warmup=1, iters=3)
+        rec_l, steps_l = f_tr(bvh_l, rays_l)
+        n_hits = int(np.asarray(rec_l.hit).sum())
+        total_steps = int(np.asarray(steps_l).sum())
+        large["traverse_ms"] = t_tr * 1e3
+        large["traverse_mrays_per_sec"] = width * height / t_tr / 1e6
+        large["traverse_hits"] = n_hits
+        large["traverse_microsteps"] = total_steps
+        # utilization: each micro-step is ~110 (8,128)-vreg VPU ops
+        # (17-ch splat 34 + slab/MT ~55 + bookkeeping ~20) at ~1/cycle,
+        # 940 MHz -> the compute lower bound for the measured step count
+        t_light_tr = total_steps * 110 / 0.94e9
+        large["traverse_pct_of_light"] = 100.0 * t_light_tr / t_tr
+        print(
+            f"# large scene ({large['tris']} tris): build "
+            f"{large['build_ms']:.1f} ms in-stream "
+            f"({large['builds_per_sec']:.1f}/s), traversal "
+            f"{large['traverse_mrays_per_sec']:.2f} Mrays/s "
+            f"({total_steps} steps, {large['traverse_pct_of_light']:.0f}% "
+            f"of VPU step-light)", file=sys.stderr)
+
+        # full fwd frame at 1080p on the large scene (auto backends:
+        # hbm traversal + XLA shade gather via the size guard)
+        cfg_l = cfg.replace(bounces=0, ray_tile=16)
+        fwd_l = jax.jit(lambda s, c: render_frame(s, c, cfg_l))
+        t_fl = timed(fwd_l, scene_l, cam, warmup=1, iters=3)
+        large["fwd_ms"] = t_fl * 1e3
+        large["fwd_mrays_per_sec"] = width * height / t_fl / 1e6
+        print(f"# large scene fwd frame: {t_fl*1e3:.1f} ms -> "
+              f"{large['fwd_mrays_per_sec']:.2f} Mrays/s", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - report, don't kill bench
+        large["error"] = f"{type(e).__name__}: {e}"
+        print(f"# large scene bench failed: {large['error']}",
+              file=sys.stderr)
+    detail["large_scene"] = large
+
+    # ---- multi-host efficiency prediction (single-chip environment:
+    # analytic DCN/ICI model, parallel/scaling.py)
+    try:
+        from raytracebvh_tpu.parallel.scaling import (
+            predict_multihost_efficiency,
+        )
+
+        detail["multihost_prediction"] = predict_multihost_efficiency(
+            scene_h, params, t_step, hosts=4, local_devices=4, geo=2
+        )
+        print(
+            "# multihost model (4 hosts x 4 chips): eff "
+            f"{detail['multihost_prediction']['efficiency_serial_bound']:.3f}"
+            " serial / "
+            f"{detail['multihost_prediction']['efficiency_overlapped_bound']:.3f}"
+            " overlapped", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# multihost prediction failed: {e}", file=sys.stderr)
+
     # ---- roofline accounting for the headline step
     try:
         compiled = grad_fn.lower(params).compile()

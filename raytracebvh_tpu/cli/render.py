@@ -30,8 +30,16 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=0, help="traversal chunk size")
     p.add_argument("--camera", choices=["reference", "perspective"],
                    default="reference")
-    p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp",
-                   help="traversal backend (pallas = fused TPU megakernel)")
+    p.add_argument("--backend",
+                   choices=["auto", "jnp", "pallas", "pallas_pre", "hbm"],
+                   default="jnp",
+                   help="traversal backend (pallas/hbm = TPU megakernels)")
+    p.add_argument("--platform", choices=["default", "cpu", "tpu"],
+                   default="default",
+                   help="force the JAX platform (cpu = run the whole "
+                        "pipeline on host; useful on dev boxes without "
+                        "a chip — env JAX_PLATFORMS is pinned by site "
+                        "config, so use this flag instead)")
     p.add_argument("--refract", action="store_true",
                    help="enable the refraction pass (the dispatch the "
                         "reference stubbed out, Graphics.cpp:805-809)")
@@ -46,6 +54,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import os
+
+    if args.platform != "default":
+        # must happen before the first backend touch; env JAX_PLATFORMS
+        # can be pinned by sitecustomize, so set the config directly
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", args.platform)
 
     import jax
     import numpy as np

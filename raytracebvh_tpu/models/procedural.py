@@ -77,36 +77,51 @@ def random_triangles(num_tris: int, seed: int = 0, extent: float = 50.0,
 def sphere_grid(nx: int = 4, ny: int = 4, subdiv: int = 8,
                 spacing: float = 25.0, radius: float = 8.0,
                 with_texture: bool = True) -> Scene:
-    """Grid of UV spheres — a ball scene like the reference's Test.obj."""
-    verts, normals, uvs, indices, mat_index = [], [], [], [], []
-    base = 0
-    for gy in range(ny):
-        for gx in range(nx):
-            cx = (gx - (nx - 1) / 2) * spacing
-            cy = (gy - (ny - 1) / 2) * spacing
-            for i in range(subdiv):
-                for j in range(subdiv * 2):
-                    quad = []
-                    for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1)):
-                        theta = np.pi * (i + di) / subdiv
-                        phi = 2 * np.pi * (j + dj) / (subdiv * 2)
-                        p = np.array(
-                            [
-                                np.sin(theta) * np.cos(phi),
-                                np.cos(theta),
-                                np.sin(theta) * np.sin(phi),
-                            ]
-                        )
-                        quad.append((p * radius + [cx, cy, 0.0], p,
-                                     [phi / (2 * np.pi), theta / np.pi]))
-                    for tri in ((0, 1, 2), (0, 2, 3)):
-                        for k in tri:
-                            verts.append(quad[k][0])
-                            normals.append(quad[k][1])
-                            uvs.append(quad[k][2])
-                            indices.append(base)
-                            base += 1
-                        mat_index.append((gx + gy) % 3)
+    """Grid of UV spheres — a ball scene like the reference's Test.obj.
+
+    Fully vectorized (the 100k-triangle bench config is generated in
+    milliseconds, not minutes of python loops); ordering and values are
+    identical to the original per-quad loop.
+    """
+    # quad corner angles per (sphere-row i, sphere-col j, corner)
+    i_ = np.arange(subdiv)[:, None, None]
+    j_ = np.arange(subdiv * 2)[None, :, None]
+    di = np.array([0, 1, 1, 0])[None, None, :]
+    dj = np.array([0, 0, 1, 1])[None, None, :]
+    theta = np.pi * (i_ + di) / subdiv          # [i, j, 4]
+    phi = 2 * np.pi * (j_ + dj) / (subdiv * 2)
+    p = np.stack(
+        [np.sin(theta) * np.cos(phi), np.cos(theta) + 0 * phi,
+         np.sin(theta) * np.sin(phi)], axis=-1,
+    )  # [i, j, 4, 3] unit sphere corners
+    uv4 = np.stack(
+        [phi / (2 * np.pi) + 0 * theta, theta / np.pi + 0 * phi], axis=-1
+    )  # [i, j, 4, 2]
+    # two triangles (0,1,2) and (0,2,3) per quad -> 6 emitted corners
+    tri_k = np.array([0, 1, 2, 0, 2, 3])
+    p6 = p[:, :, tri_k, :].reshape(-1, 3)       # per-sphere [q*6, 3]
+    uv6 = uv4[:, :, tri_k, :].reshape(-1, 2)
+
+    cx = (np.arange(nx) - (nx - 1) / 2) * spacing
+    cy = (np.arange(ny) - (ny - 1) / 2) * spacing
+    centers = np.stack(
+        [np.broadcast_to(cx[None, :], (ny, nx)),
+         np.broadcast_to(cy[:, None], (ny, nx)),
+         np.zeros((ny, nx))], axis=-1,
+    ).reshape(-1, 3)  # [ny*nx, 3] in (gy, gx) order
+
+    verts = (p6[None] * radius + centers[:, None, :]).reshape(-1, 3)
+    normals = np.broadcast_to(
+        p6[None], (centers.shape[0],) + p6.shape
+    ).reshape(-1, 3)
+    uvs = np.broadcast_to(
+        uv6[None], (centers.shape[0],) + uv6.shape
+    ).reshape(-1, 2)
+    indices = np.arange(verts.shape[0], dtype=np.int32)
+    gy_, gx_ = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    mat_sphere = ((gx_ + gy_) % 3).reshape(-1)  # [ny*nx]
+    tris_per_sphere = subdiv * (subdiv * 2) * 2
+    mat_index = np.repeat(mat_sphere, tris_per_sphere)
     mats, tex, hw = _default_materials(3, with_texture=with_texture)
     return Scene(
         verts=np.asarray(verts, np.float32),

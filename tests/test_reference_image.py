@@ -45,3 +45,25 @@ def test_depth_render_matches_reference_artifact():
     # conventions, traversal correctness) while absorbing that drift.
     assert psnr >= 22.0, f"PSNR {psnr:.2f} dB below threshold"
     assert iou >= 0.70, f"foreground IoU {iou:.3f} below threshold"
+
+
+def test_depth_render_matches_self_golden():
+    """Pixel-exact golden of the repo's OWN depth render (125x125,
+    stride 4), pinned as a compressed fixture.  The loose PSNR/IoU bands
+    above absorb the reference artifact's mesh drift but would pass a
+    substantially wrong image; this catches sub-dB regressions.  A <=1
+    ULP band on the uint8 depth absorbs cross-version XLA float jitter
+    without hiding real changes."""
+    obj = find_asset("Test.obj")
+    assert obj is not None, "Test.obj not found"
+    scene = scene_to_device(load_obj(obj))
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "fixtures",
+                     "depth_self_golden.npz")
+    )["img"]
+    ours = render_depth_bmp(scene, 500, 500, stride=4)
+    assert ours.shape == golden.shape
+    diff = np.abs(ours.astype(np.int16) - golden.astype(np.int16))
+    frac_exact = float((diff == 0).mean())
+    assert frac_exact >= 0.999, f"only {frac_exact:.4f} pixels exact"
+    assert int(diff.max()) <= 1, f"max channel diff {int(diff.max())} > 1"
