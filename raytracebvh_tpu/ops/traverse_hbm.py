@@ -66,10 +66,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pack_table_rank17(bvh: BVH, win: int = 1024):
-    """The fused rank-space node table [17, Wb] (see module doc).
+    """The fused rank-space node table, window/subtile-major
+    ``[nw, win/128, CHP, 128]`` (see module doc for the channel layout).
 
     Built with the SoA fast path: one 1-D scatter inverts the rank
-    permutation, then every channel is a 1-D gather.
+    permutation, then every channel is a 1-D gather.  The 4-D layout puts
+    every dynamic index the kernel ever takes (window id for the DMA,
+    subtile id for the micro-step slice) on an UNTILED leading dimension —
+    Mosaic rejects dynamic offsets in the tiled (sublane/lane) dims of an
+    HBM memref slice unless provably 128-aligned, which runtime values
+    like ``w0 = min(rank) // win * win`` are not.
     """
     from .bvh import preorder_ranks
 
@@ -120,7 +126,10 @@ def pack_table_rank17(bvh: BVH, win: int = 1024):
         + [0.0] * (CHP - CH), f32,  # sublane padding rows (DMA alignment)
     )
     tbl = jnp.broadcast_to(pad_col[:, None], (CHP, wb))
-    return tbl.at[:CH, :two_n].set(rows)
+    tbl = tbl.at[:CH, :two_n].set(rows)
+    # (c, wi*win + k*128 + l) -> (wi, k, c, l)
+    k = win // LANES
+    return tbl.reshape(CHP, wb // win, k, LANES).transpose(1, 2, 0, 3)
 
 
 def _splat(sub, lane, s):
@@ -197,8 +206,10 @@ def _make_kernel(any_hit, *, n_leaves, wb, win, s, epsilon, max_steps):
         idz_ = 1.0 / dz
 
         def dma(slot, w0):
+            # w0 is always a multiple of win; the copy indexes the table
+            # by window id — an untiled leading dim, any dynamic value ok
             return pltpu.make_async_copy(
-                tbl_hbm.at[:, pl.ds(w0, win)], wbuf.at[slot], sem.at[slot]
+                tbl_hbm.at[w0 // win], wbuf.at[slot], sem.at[slot]
             )
 
         # warm-up: every lane starts at rank 0, so window 0 first
@@ -216,7 +227,7 @@ def _make_kernel(any_hit, *, n_leaves, wb, win, s, epsilon, max_steps):
             active = in_win & (off >= 0) & (off < LANES)
             lane = jnp.clip(off, 0, LANES - 1)
 
-            sub = wbuf[slot, :, pl.ds(k0 * LANES, LANES)]  # [24, 128]
+            sub = wbuf[slot, k0]  # [24, 128] — untiled leading indices
             row = _splat(sub, lane, s)
             skipr = pltpu.bitcast(row[6], jnp.int32)
             skipr = jnp.where(skipr < 0, done, skipr)
@@ -362,7 +373,7 @@ def traverse_hbm_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tbl = pack_table_rank17(bvh, win)
-    wb = tbl.shape[1]
+    wb = tbl.shape[0] * win
     origin, direction, nrays, ntiles, s = _prep_rays_blocked(rays, block_rays)
 
     kernel = _make_kernel(
@@ -383,7 +394,7 @@ def traverse_hbm_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ntiles, 4, s, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, CHP, win), jnp.float32),
+            pltpu.VMEM((2, win // LANES, CHP, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -417,7 +428,7 @@ def traverse_any_hbm_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tbl = pack_table_rank17(bvh, win)
-    wb = tbl.shape[1]
+    wb = tbl.shape[0] * win
     origin, direction, nrays, ntiles, s = _prep_rays_blocked(rays, block_rays)
     rpad = ntiles * s * LANES
     tmax = jnp.full((rpad,), -1.0, jnp.float32).at[:nrays].set(
@@ -444,7 +455,7 @@ def traverse_any_hbm_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ntiles, 1, s, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, CHP, win), jnp.float32),
+            pltpu.VMEM((2, win // LANES, CHP, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
