@@ -142,6 +142,17 @@ class BVH:
     # gather per shaded ray replaces ~30 per-channel gathers (XLA TPU
     # gathers pay per-op, not per-byte — measured 10x).
     leaf_attrs: Any  # [n, 40]
+    # Optional precomputed HBM-sweep node table (ops/traverse_hbm.
+    # pack_table_rank17, [nw, win/128, 24, 128]).  Packing costs ~90 ms at
+    # 131k leaves, and one frame traverses up to 3x (primary, bounce,
+    # shadow) — the pipeline packs ONCE per build (pipeline.shade_rays)
+    # and every hbm traversal reuses it.  None = pack on demand.
+    hbm_table: Any = None
+    # DFS pre-order rank of every node ([2n] int32), computed in the
+    # build from the leaf ranges with one 2-key sort
+    # (ops/bvh.preorder_ranks_from_ranges).  The hbm table pack consumes
+    # it; None = derive from the entry links by pointer doubling.
+    rank: Any = None
 
     @property
     def n_leaves(self) -> int:

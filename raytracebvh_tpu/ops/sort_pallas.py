@@ -67,7 +67,9 @@ def _phase(codes, idx, j, k, rows):
         asc = ((b * (2 * s)) & g) == 0
         # lexicographic (code, idx) compare — emulates a stable sort
         gt = (clo > chi) | ((clo == chi) & (ilo > ihi))
-        swap = jnp.where(asc, gt, jnp.logical_not(gt))
+        # swap = asc ? gt : !gt  ==  !(gt ^ asc) — pure logic: a select_n
+        # over i1 vectors trips an unsupported i8->i1 truncation in Mosaic
+        swap = jnp.logical_not(jnp.logical_xor(gt, asc))
         nclo = jnp.where(swap, chi, clo)
         nchi = jnp.where(swap, clo, chi)
         nilo = jnp.where(swap, ihi, ilo)
@@ -92,8 +94,10 @@ def _phase(codes, idx, j, k, rows):
 
     gt = (codes > pc) | ((codes == pc) & (idx > pi))
     lt = (codes < pc) | ((codes == pc) & (idx < pi))
-    # lower element keeps the smaller value iff ascending (XNOR)
-    keep_partner = jnp.where(asc == is_lo, gt, lt)
+    # lower element keeps the smaller value iff ascending (XNOR); logical
+    # form instead of a select — Mosaic can't select between i1 vectors
+    cond = asc == is_lo
+    keep_partner = (cond & gt) | (jnp.logical_not(cond) & lt)
     codes = jnp.where(keep_partner, pc, codes)
     idx = jnp.where(keep_partner, pi, idx)
     return codes, idx

@@ -84,8 +84,12 @@ def pack_table_rank17(bvh: BVH, win: int = 1024):
     wb = _round_up(two_n, win)
     f32 = jnp.float32
 
-    rank = preorder_ranks(bvh.entry_link, n)  # [2n]
     ids = jnp.arange(two_n, dtype=jnp.int32)
+    # the build precomputes ranks with one 2-key sort
+    # (ops/bvh.preorder_ranks_from_ranges); entry-link pointer doubling
+    # is the fallback for hand-built BVHs
+    rank = (bvh.rank if bvh.rank is not None
+            else preorder_ranks(bvh.entry_link, n))  # [2n]
     # inv[r] = node id at pre-order rank r
     inv = jnp.zeros(two_n, jnp.int32).at[rank].set(ids)
 
@@ -102,34 +106,41 @@ def pack_table_rank17(bvh: BVH, win: int = 1024):
     def leafpad(x):  # [n] leaf data -> [2n] (internal columns zero)
         return jnp.zeros(two_n, f32).at[:n].set(x)
 
-    cols = [
-        jnp.where(unused, BIGBOX, bvh.bbmin[:, 0].astype(f32)),
-        jnp.where(unused, BIGBOX, bvh.bbmin[:, 1].astype(f32)),
-        jnp.where(unused, BIGBOX, bvh.bbmin[:, 2].astype(f32)),
-        jnp.where(unused, -BIGBOX, bvh.bbmax[:, 0].astype(f32)),
-        jnp.where(unused, -BIGBOX, bvh.bbmax[:, 1].astype(f32)),
-        jnp.where(unused, -BIGBOX, bvh.bbmax[:, 2].astype(f32)),
-        jax.lax.bitcast_convert_type(
-            jnp.where(unused, -1, skip_rank), f32),
-        jax.lax.bitcast_convert_type(ids, f32),
-        leafpad(v0[:, 0]), leafpad(v0[:, 1]), leafpad(v0[:, 2]),
-        leafpad(e1[:, 0]), leafpad(e1[:, 1]), leafpad(e1[:, 2]),
-        leafpad(e2[:, 0]), leafpad(e2[:, 1]), leafpad(e2[:, 2]),
-    ]
-    # permute id-space columns into rank space (1-D gathers by inv)
-    rows = jnp.stack([c[inv] for c in cols])  # [17, 2n]
+    # id-space node rows [2n, 24] — all elementwise — then ONE row gather
+    # by inv permutes them into rank space (17 separate per-channel
+    # gathers measured 34 ms at 131k leaves; the row form ~8 ms: XLA TPU
+    # gathers pay per-row, not per-byte)
+    unused_c = unused[:, None]
+    idrows = jnp.concatenate(
+        [
+            jnp.where(unused_c, BIGBOX, bvh.bbmin.astype(f32)),
+            jnp.where(unused_c, -BIGBOX, bvh.bbmax.astype(f32)),
+            jax.lax.bitcast_convert_type(
+                jnp.where(unused, -1, skip_rank), f32)[:, None],
+            jax.lax.bitcast_convert_type(ids, f32)[:, None],
+            leafpad(v0[:, 0])[:, None], leafpad(v0[:, 1])[:, None],
+            leafpad(v0[:, 2])[:, None],
+            leafpad(e1[:, 0])[:, None], leafpad(e1[:, 1])[:, None],
+            leafpad(e1[:, 2])[:, None],
+            leafpad(e2[:, 0])[:, None], leafpad(e2[:, 1])[:, None],
+            leafpad(e2[:, 2])[:, None],
+            jnp.zeros((two_n, CHP - CH), f32),  # sublane padding channels
+        ],
+        axis=1,
+    )  # [2n, CHP]
+    ranked = idrows[inv]  # [2n, CHP] in rank order
     # padding ranks [2n, wb): empty boxes, skip=-1 (never visited)
-    pad_col = jnp.array(
+    pad_row = jnp.array(
         [BIGBOX] * 3 + [-BIGBOX] * 3
         + [jax.lax.bitcast_convert_type(jnp.int32(-1), f32), 0.0]
         + [0.0] * 9
-        + [0.0] * (CHP - CH), f32,  # sublane padding rows (DMA alignment)
+        + [0.0] * (CHP - CH), f32,
     )
-    tbl = jnp.broadcast_to(pad_col[:, None], (CHP, wb))
-    tbl = tbl.at[:CH, :two_n].set(rows)
-    # (c, wi*win + k*128 + l) -> (wi, k, c, l)
+    tbl = jnp.broadcast_to(pad_row[None, :], (wb, CHP))
+    tbl = tbl.at[:two_n, :].set(ranked)
+    # (wi*win + k*128 + l, c) -> (wi, k, c, l)
     k = win // LANES
-    return tbl.reshape(CHP, wb // win, k, LANES).transpose(1, 2, 0, 3)
+    return tbl.reshape(wb // win, k, LANES, CHP).transpose(0, 1, 3, 2)
 
 
 def _splat(sub, lane, s):
@@ -372,7 +383,11 @@ def traverse_hbm_pallas(
         max_steps = 4 * n
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    tbl = pack_table_rank17(bvh, win)
+    if bvh.hbm_table is not None:
+        tbl = bvh.hbm_table
+        win = tbl.shape[1] * LANES  # the table's own window size wins
+    else:
+        tbl = pack_table_rank17(bvh, win)
     wb = tbl.shape[0] * win
     origin, direction, nrays, ntiles, s = _prep_rays_blocked(rays, block_rays)
 
@@ -427,7 +442,11 @@ def traverse_any_hbm_pallas(
         max_steps = 4 * n
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    tbl = pack_table_rank17(bvh, win)
+    if bvh.hbm_table is not None:
+        tbl = bvh.hbm_table
+        win = tbl.shape[1] * LANES
+    else:
+        tbl = pack_table_rank17(bvh, win)
     wb = tbl.shape[0] * win
     origin, direction, nrays, ntiles, s = _prep_rays_blocked(rays, block_rays)
     rpad = ntiles * s * LANES

@@ -95,56 +95,70 @@ def assemble_bvh(scene: Scene, verts_t, normals_t, codes, lmin, lmax,
         sorted_codes, order = bitonic_sort_by_code(codes)
     else:
         sorted_codes, order = sort_ops.sort_by_code(codes)
-    # SoA gathers throughout: TPU gathers of [*, 3]-minor arrays are the
-    # slow path (padded to 128 lanes AND lowered badly — the [n, 3] form
-    # of the morton gather measured 26.5 ms vs sub-ms 1-D; see
-    # ops/morton.triangle_leaves).  Every permutation below is therefore
-    # a set of 1-D column gathers.
-    prim = prim[order]
-    lmin = jnp.stack([lmin[:, k][order] for k in range(3)], -1)
-    lmax = jnp.stack([lmax[:, k][order] for k in range(3)], -1)
+    # Row-packed gathers throughout: XLA TPU gathers pay per-ROW, not
+    # per-byte (30 per-channel gathers measured 10x slower than one
+    # packed row gather at shade time), while [*, 3]-minor arrays hit the
+    # worst tiling path (26.5 ms vs sub-ms; see ops/morton).  So every
+    # permutation below packs its columns into one >=4-wide row table,
+    # gathers rows once, and slices 1-D columns back out.
+    lrows = jnp.stack(
+        [prim.astype(dtype)] + [lmin[:, k] for k in range(3)]
+        + [lmax[:, k] for k in range(3)] + [jnp.zeros(n, dtype)], -1
+    )[order]  # [n, 8]: one gather instead of 7
+    prim = lrows[:, 0].astype(jnp.int32)  # face ids exact in f32; -1 pad
+    lmin = lrows[:, 1:4]
+    lmax = lrows[:, 4:7]
 
     topo = bvh_ops.build_topology(sorted_codes)
     bbmin, bbmax = bvh_ops.fit_aabbs(topo.node_lo, topo.node_hi, lmin, lmax)
     entry, skip = bvh_ops.compute_links(topo, n)
     child_l, child_r, parent = topo.child_l, topo.child_r, topo.parent
+    rank, _ = bvh_ops.preorder_ranks_from_ranges(
+        topo.node_lo, topo.node_hi, n
+    )
 
     # gather leaf triangle data into morton order ONCE (fixes quirk Q7,
-    # the reference's per-leaf-visit WVP transform)
+    # the reference's per-leaf-visit WVP transform).  5 row gathers total:
+    # faces [n,4], one [n,8] per corner from the packed per-vertex table,
+    # one [n,16] from the packed per-material table — vs ~40 per-channel
+    # 1-D gathers (the per-op gather cost dominated the build at 102k
+    # tris: 21.9 ms -> ~5 ms for this block).
     safe_prim = jnp.maximum(prim, 0)
-    faces = scene.indices.reshape(-1, 3)
-    corner = [faces[:, v][safe_prim] for v in range(3)]  # 3x [n] int32
-    vt = [verts_t[:, k] for k in range(3)]  # 1-D vertex columns
-    nt = [normals_t[:, k] for k in range(3)]
-    uvc = [scene.uv.astype(dtype)[:, k] for k in range(2)]
-    tv = [[vt[k][corner[v]] for k in range(3)] for v in range(3)]  # [v][k]
-    tn = [[nt[k][corner[v]] for k in range(3)] for v in range(3)]
-    tuv = [[uvc[k][corner[v]] for k in range(2)] for v in range(3)]
+    frows = jnp.pad(scene.indices.reshape(-1, 3), ((0, 0), (0, 1)))
+    crows = frows[safe_prim]  # [n, 4]
+    corner = [crows[:, v] for v in range(3)]
+    # per-vertex rows: xyz | nxnynz | uv
+    vrow8 = jnp.concatenate(
+        [verts_t, normals_t, scene.uv.astype(dtype)], axis=1
+    )  # [nv, 8]
+    A = [vrow8[corner[v]] for v in range(3)]  # 3x [n, 8]
     tri_mat = scene.mat_index[safe_prim]
 
-    tri_verts = jnp.stack(
-        [jnp.stack(tv[v], -1) for v in range(3)], axis=1
-    )  # [n, 3, 3]
-    tri_normals = jnp.stack([jnp.stack(tn[v], -1) for v in range(3)], axis=1)
-    tri_uv = jnp.stack([jnp.stack(tuv[v], -1) for v in range(3)], axis=1)
+    tri_verts = jnp.stack([A[v][:, 0:3] for v in range(3)], axis=1)  # [n,3,3]
+    tri_normals = jnp.stack([A[v][:, 3:6] for v in range(3)], axis=1)
+    tri_uv = jnp.stack([A[v][:, 6:8] for v in range(3)], axis=1)
 
     # packed per-leaf shading table (see core/types.py BVH.leaf_attrs)
     mats = scene.materials
-    cols = (
-        [tv[v][k] for v in range(3) for k in range(3)]
-        + [tn[v][k] for v in range(3) for k in range(3)]
-        + [tuv[v][k] for v in range(3) for k in range(2)]
-        + [mats.ambient[:, c].astype(dtype)[tri_mat] for c in range(4)]
-        + [mats.diffuse[:, c].astype(dtype)[tri_mat] for c in range(4)]
-        + [mats.specular[:, c].astype(dtype)[tri_mat] for c in range(4)]
-        + [
-            mats.shininess.astype(dtype)[tri_mat],
-            mats.optical_density.astype(dtype)[tri_mat],
-            mats.alpha.astype(dtype)[tri_mat],
-            mats.tex_id[tri_mat].astype(dtype),  # integer-valued float
-        ]
-    )
-    leaf_attrs = jnp.stack(cols, axis=-1)  # [n, 40]
+    mrow16 = jnp.concatenate(
+        [
+            mats.ambient.astype(dtype),
+            mats.diffuse.astype(dtype),
+            mats.specular.astype(dtype),
+            mats.shininess.astype(dtype)[:, None],
+            mats.optical_density.astype(dtype)[:, None],
+            mats.alpha.astype(dtype)[:, None],
+            mats.tex_id.astype(dtype)[:, None],  # integer-valued float
+        ],
+        axis=1,
+    )  # [nmat, 16]
+    Am = mrow16[tri_mat]  # [n, 16]
+    leaf_attrs = jnp.concatenate(
+        [A[0][:, 0:3], A[1][:, 0:3], A[2][:, 0:3],
+         A[0][:, 3:6], A[1][:, 3:6], A[2][:, 3:6],
+         A[0][:, 6:8], A[1][:, 6:8], A[2][:, 6:8], Am],
+        axis=-1,
+    )  # [n, 40]
 
     return BVH(
         codes=sorted_codes,
@@ -161,7 +175,28 @@ def assemble_bvh(scene: Scene, verts_t, normals_t, codes, lmin, lmax,
         tri_uv=tri_uv,
         tri_mat=tri_mat,
         leaf_attrs=leaf_attrs,
+        rank=rank,
     )
+
+
+def resolve_traversal_backend(cfg: RenderConfig, n_leaves: int) -> str:
+    """The concrete traversal backend for a scene size (shared by the
+    traversal dispatch and the once-per-build hbm table pack).
+
+    'auto' on TPU: the fused u16 Pallas kernel (measured 45x the XLA
+    while_loop; 49.8 vs 1.09 Mrays/s at 1080p on Image_Test.obj) below
+    its 32767-leaf packing cap, the HBM windowed sweep above it (no VMEM
+    scene ceiling; the pre-order gather kernel collapses with divergence
+    at 100k+ leaves: 0.02 Mrays/s, BENCH_NOTES round 2).  Off-TPU Pallas
+    would run interpreted, so 'auto' is the XLA walk there."""
+    backend = cfg.traversal_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas" and 2 * n_leaves >= 0xFFFF:
+        backend = "hbm"
+    if backend == "sweep":  # alias
+        backend = "hbm"
+    return backend
 
 
 def _traverse_ids(bvh: BVH, rays: Rays, cfg: RenderConfig) -> HitRecord:
@@ -169,24 +204,11 @@ def _traverse_ids(bvh: BVH, rays: Rays, cfg: RenderConfig) -> HitRecord:
     bvh_ng = jax.lax.stop_gradient(bvh)
     rays_ng = jax.lax.stop_gradient(rays)
     nrays = rays_ng.origin.shape[0]
-    backend = cfg.traversal_backend
-    if backend == "auto":
-        # pallas traversal measured 45x faster than the XLA while_loop on
-        # TPU (49.8 vs 1.09 Mrays/s at 1080p on Image_Test.obj); off-TPU it
-        # would run interpreted, so fall back to the XLA path there.
-        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if backend in ("pallas", "pallas_pre", "sweep", "hbm"):
+    backend = resolve_traversal_backend(cfg, bvh_ng.n_leaves)
+    if backend in ("pallas", "pallas_pre", "hbm"):
         from .ops.traverse_pallas import traverse_pallas, traverse_pre_pallas
 
-        # the u16-link fused table measures ~15% faster at small n
-        # (50.3 vs 43.7 Mrays/s at 3072 leaves); beyond its 32767-leaf
-        # packing cap the HBM windowed sweep takes over (double-buffered
-        # window DMA, no per-lane tree gathers, no VMEM scene ceiling —
-        # the pre-order gather kernel collapses with divergence at 100k+
-        # leaves: 0.02 Mrays/s, BENCH_NOTES round 2)
-        if backend == "pallas" and 2 * bvh_ng.n_leaves >= 0xFFFF:
-            backend = "hbm"
-        if backend in ("hbm", "sweep"):  # 'sweep' = the windowed rank sweep
+        if backend == "hbm":
             from .ops.traverse_hbm import traverse_hbm_pallas
 
             rec = traverse_hbm_pallas(
@@ -264,18 +286,14 @@ def _shadow_vis(bvh: BVH, o3, d3, rec: HitRecord, light3, cfg: RenderConfig):
     so = tuple(jnp.where(rec.hit, so[i], 1.0e30) for i in range(3))
     rays = _rays_of(so, dirn)
 
-    backend = cfg.traversal_backend
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if backend in ("pallas", "pallas_pre", "sweep", "hbm"):
+    backend = resolve_traversal_backend(cfg, bvh.n_leaves)
+    if backend in ("pallas", "pallas_pre", "hbm"):
         from .ops.traverse_pallas import (
             traverse_any_pallas,
             traverse_any_pre_pallas,
         )
 
-        if backend == "pallas" and 2 * bvh.n_leaves >= 0xFFFF:
-            backend = "hbm"
-        if backend in ("hbm", "sweep"):
+        if backend == "hbm":
             from .ops.traverse_hbm import traverse_any_hbm_pallas
 
             occ = traverse_any_hbm_pallas(
@@ -684,6 +702,19 @@ def shade_rays(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig,
     dispatch 15x15 (Graphics.cpp:788-792) is occupancy; ours is HBM:
     full-frame [R,...] temps at 1080p OOM the backward pass otherwise.
     """
+    # pack the HBM-sweep node table ONCE per build: a frame traverses up
+    # to 3x (primary, bounce, shadow) and the pack costs ~90 ms at 131k
+    # leaves — repacking per traversal would dominate the frame
+    if (
+        bvh.hbm_table is None
+        and resolve_traversal_backend(cfg, bvh.n_leaves) == "hbm"
+    ):
+        from .ops.traverse_hbm import pack_table_rank17
+
+        bvh = bvh.replace(
+            hbm_table=jax.lax.stop_gradient(pack_table_rank17(bvh))
+        )
+
     nrays = rays.origin.shape[0]
     if cfg.ray_chunk > 0 and nrays > cfg.ray_chunk:
         assert nrays % cfg.ray_chunk == 0, (

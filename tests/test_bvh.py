@@ -176,3 +176,42 @@ def test_karras_paper_example():
     # leaf 4 (10011) is alone against (11000,11001,11110)
     right = cr[n]
     assert cl[right] == 4
+
+
+@pytest.mark.parametrize(
+    "n,seed,dup",
+    [(8, 0, False), (256, 1, False), (1000, 2, False), (4096, 3, False),
+     (512, 4, True), (2, 5, False), (3, 6, False)],
+)
+def test_rmq_matches_search(n, seed, dup):
+    """karras_children_rmq is bit-identical to the reference-shaped
+    searches (karras_children), including duplicate-code tie-breaks."""
+    rng = np.random.default_rng(seed)
+    hi = 1 << 8 if dup else 1 << 30  # dup: force many equal codes
+    codes = np.sort(rng.integers(0, hi, n).astype(np.uint32))
+    codes = jnp.asarray(codes, jnp.uint32)
+    ref = bvh_ops.karras_children(codes)
+    got = bvh_ops.karras_children_rmq(codes)
+    for r, g, name in zip(ref, got, ("child_l", "child_r", "lo", "hi")):
+        np.testing.assert_array_equal(
+            np.asarray(g), np.asarray(r), err_msg=name
+        )
+
+
+@pytest.mark.parametrize("n,seed", [(8, 0), (256, 1), (1000, 2)])
+def test_preorder_ranks_from_ranges(n, seed):
+    """The 2-key-sort ranks equal the entry-link pointer-doubling ranks."""
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 1 << 30, n).astype(np.uint32)
+    sorted_codes, _ = sort_ops.sort_by_code(jnp.asarray(codes, jnp.uint32))
+    topo = bvh_ops.build_topology(sorted_codes)
+    entry, _ = bvh_ops.compute_links(topo, n)
+    ref = bvh_ops.preorder_ranks(entry, n)
+    rank, inv = bvh_ops.preorder_ranks_from_ranges(
+        topo.node_lo, topo.node_hi, n
+    )
+    np.testing.assert_array_equal(np.asarray(rank), np.asarray(ref))
+    # inv really is the inverse permutation
+    np.testing.assert_array_equal(
+        np.asarray(rank)[np.asarray(inv)], np.arange(2 * n)
+    )
