@@ -394,6 +394,15 @@ def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord,
     hmax, wmax = scene.textures.shape[1], scene.textures.shape[2]
     if tex_quads is None:
         tex_quads = shade_ops.pack_texture_quads(scene.textures, scene.tex_hw)
+    # miss lanes carry leaf-0 attrs and an arbitrary barycentric point —
+    # their uv is finite garbage, and unmasked they gather RANDOM rows
+    # of the (up to ~100 MB) quad table, thrashing DRAM for pixels whose
+    # color is discarded anyway (measured 38 ms/pass of the 50 ms
+    # texture cost at 1080p).  Pin them to texel (0, 0); discreteness is
+    # fine (rec.hit is already a stop-grad boundary).
+    live = rec.hit
+    uvu = jnp.where(live, uvu, 0.0)
+    uvv = jnp.where(live, uvv, 0.0)
     tex = shade_ops.sample_texture_quads(
         tex_quads, scene.tex_hw, tex_id, uvu, uvv, hmax, wmax
     )
@@ -653,13 +662,21 @@ def _shade_rays_one(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig,
     apply to primary hits; bounce passes keep the reference's unshadowed
     lerp chain."""
     o3, d3 = _split_rays(rays)
-    # one quad table per frame, shared by every pass (see
-    # ops/shade.pack_texture_quads)
-    tex_quads = shade_ops.pack_texture_quads(scene.textures, scene.tex_hw)
+    # one quad table shared by every pass: the scene's precomputed
+    # morton-swizzled table when present (scene_to_device), else a
+    # row-major pack per frame (see ops/shade.pack_texture_quads)
+    if scene.tex_quads is not None:
+        tex_quads = scene.tex_quads
+    else:
+        tex_quads = shade_ops.pack_texture_quads(scene.textures, scene.tex_hw)
     if cfg.texture_dtype == "uint8":
-        tex_quads = shade_ops.quantize_quads_u8(
-            jax.lax.stop_gradient(tex_quads)
-        )
+        sg = jax.lax.stop_gradient
+        if isinstance(tex_quads, shade_ops.TexQuads):
+            tex_quads = tex_quads.replace(
+                quads=shade_ops.quantize_quads_u8(sg(tex_quads.quads))
+            )
+        else:
+            tex_quads = shade_ops.quantize_quads_u8(sg(tex_quads))
     color, refl, intensity, refr, refr_int = _launch_soa(
         scene, bvh, o3, d3, cfg, tex_quads, light3
     )

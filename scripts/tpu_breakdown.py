@@ -4,7 +4,8 @@ Times each layer of the frame separately so optimization targets the
 right stage: build, pallas traversal, launch(+shade), full forward,
 fwd+bwd.  Run on the real chip:  python scripts/tpu_breakdown.py
 """
-import time, sys
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 
 from raytracebvh_tpu import Camera, RenderConfig
