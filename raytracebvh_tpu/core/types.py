@@ -59,15 +59,6 @@ class Scene:
     materials: Materials
     textures: Any  # [T, H, W, 4] float, T >= 1
     tex_hw: Any  # [T, 2] int32 valid (height, width) per texture
-    # Optional precomputed bilinear quad table in MORTON-swizzled texel
-    # order (ops/shade.pack_texture_quads_morton; filled by
-    # scene_to_device).  The per-ray bilinear gather is a random-row read
-    # of a ~100 MB table at 1080p — row-major layout scatters vertically
-    # adjacent texels DRAM-pages apart, the Z-order curve keeps the 2-D
-    # locality of surface-coherent rays (the TPU-native analog of the
-    # GPU's swizzled texture memory the reference samples through,
-    # Image.cpp:63-117).  None = pack row-major per frame.
-    tex_quads: Any = None
 
     @property
     def num_faces(self) -> int:
@@ -215,9 +206,7 @@ def stack_textures(textures: list) -> tuple:
 
 
 def scene_to_device(scene: Scene, dtype=jnp.float32) -> Scene:
-    """Move a host (numpy) scene to device arrays with the given dtype,
-    and precompute the morton-swizzled texture quad table once (the
-    scatter that builds it is too expensive to repeat per frame)."""
+    """Move a host (numpy) scene to device arrays with the given dtype."""
 
     def conv(x):
         x = jnp.asarray(x)
@@ -225,11 +214,4 @@ def scene_to_device(scene: Scene, dtype=jnp.float32) -> Scene:
             return x.astype(dtype)
         return x
 
-    scene = jax.tree_util.tree_map(conv, scene)
-    if scene.tex_quads is None:
-        from ..ops.shade import pack_texture_quads_morton
-
-        scene = scene.replace(
-            tex_quads=pack_texture_quads_morton(scene.textures, scene.tex_hw)
-        )
-    return scene
+    return jax.tree_util.tree_map(conv, scene)

@@ -9,45 +9,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from flax import struct
-
-
-@struct.dataclass
-class TexQuads:
-    """Bilinear quad table in morton-swizzled texel order.
-
-    ``quads[t * hp * wp + morton2(x, y)]`` is the 16-channel 2x2
-    wrap-neighborhood of texel (t, y, x); ``hp``/``wp`` are the
-    power-of-two padded extents the Z-order curve is defined over
-    (static — part of the pytree treedef).  See
-    ``pack_texture_quads_morton``."""
-
-    quads: jnp.ndarray  # [T * hp * wp, 16]
-    hp: int = struct.field(pytree_node=False, default=0)
-    wp: int = struct.field(pytree_node=False, default=0)
-
-
-def _expand_bits16(x):
-    """Spread the low 16 bits of ``x`` to even positions (int32)."""
-    x = x & 0xFFFF
-    x = (x | (x << 8)) & 0x00FF00FF
-    x = (x | (x << 4)) & 0x0F0F0F0F
-    x = (x | (x << 2)) & 0x33333333
-    x = (x | (x << 1)) & 0x55555555
-    return x
-
-
-def _morton2(x, y, bx: int, by: int):
-    """Z-order index of (x, y) on a 2^bx x 2^by grid: interleave the low
-    min(bx, by) bits, excess high bits of the longer axis ride on top."""
-    b = min(bx, by)
-    mask = (1 << b) - 1
-    idx = _expand_bits16(x & mask) | (_expand_bits16(y & mask) << 1)
-    if bx > b:
-        idx = idx | ((x >> b) << (2 * b))
-    elif by > b:
-        idx = idx | ((y >> b) << (2 * b))
-    return idx
 
 
 def barycentric_normal_uv(tri_pos, tri_normal, tri_uv, point):
@@ -333,33 +294,6 @@ def pack_texture_quads(textures, tex_hw):
     return quads.reshape(t * h * w, 4 * c)
 
 
-def pack_texture_quads_morton(textures, tex_hw) -> TexQuads:
-    """``pack_texture_quads`` rows scattered into Z-order texel layout.
-
-    The per-ray bilinear fetch is a random-row gather over a table that
-    can exceed 100 MB (1000x1600 RGBA -> 102 MB of quad rows); in
-    row-major order, vertically adjacent texels are a DRAM page apart,
-    so surface-coherent rays thrash (measured 50 ms/pass at 1080p on
-    Image_Test.obj vs 12 ms with artificially local indices).  Z-order
-    keeps the 2-D locality of the access pattern 1-D-local — the
-    TPU-native analog of GPU swizzled texture memory.  The scatter that
-    builds the table costs one pass over the texels, so it runs ONCE per
-    scene (scene_to_device), not per frame."""
-    t, h, w, c = textures.shape
-    hp = 1 << max(0, (h - 1).bit_length())
-    wp = 1 << max(0, (w - 1).bit_length())
-    bx, by = wp.bit_length() - 1, hp.bit_length() - 1
-    quads = pack_texture_quads(textures, tex_hw)  # [T*H*W, 16] row-major
-    s = hp * wp
-    i = jnp.arange(t * h * w, dtype=jnp.int32)
-    ti = i // (h * w)
-    yi = (i // w) % h
-    xi = i % w
-    dst = ti * s + _morton2(xi, yi, bx, by)
-    out = jnp.zeros((t * s, 4 * c), quads.dtype).at[dst].set(quads)
-    return TexQuads(quads=out, hp=hp, wp=wp)
-
-
 def quantize_quads_u8(tex_quads):
     """[*, 16] float quads in [0,1] -> uint8 (UNORM8).
 
@@ -396,14 +330,12 @@ def sample_texture_quads(tex_quads, tex_hw, tex_id, u, v, hmax, wmax):
     yi = y0.astype(jnp.int32)
     xi = jnp.where(xi < 0, xi + w.astype(jnp.int32), xi)
     yi = jnp.where(yi < 0, yi + h.astype(jnp.int32), yi)
-    if isinstance(tex_quads, TexQuads):  # Z-order layout (see TexQuads)
-        hp, wp = tex_quads.hp, tex_quads.wp
-        flat = tid * (hp * wp) + _morton2(
-            xi, yi, wp.bit_length() - 1, hp.bit_length() - 1
-        )
-        tex_quads = tex_quads.quads
-    else:  # row-major per-frame pack
-        flat = (tid * hmax + yi) * wmax + xi
+    # NB: a morton/Z-order-swizzled quad table was tried (round 3) and
+    # measured SLOWER end-to-end on device (fwd 354 vs 170 ms at 1080p on
+    # Image_Test.obj — the per-ray bit-interleave math plus the
+    # power-of-two-padded, ~2.6x larger table cost more than the layout
+    # bought); row-major is the one texture path.
+    flat = (tid * hmax + yi) * wmax + xi
     q = tex_quads[flat]  # [R, 16] — the one gather
     if q.dtype == jnp.uint8:  # UNORM8 path (see quantize_quads_u8)
         q = q.astype(u.dtype) / 255.0

@@ -91,7 +91,6 @@ def render_geo_sharded(
         materials=jax.tree_util.tree_map(lambda _: P(), scene.materials),
         textures=P(),
         tex_hw=P(),
-        tex_quads=jax.tree_util.tree_map(lambda _: P(), scene.tex_quads),
     )
 
     @functools.partial(
@@ -144,7 +143,6 @@ def render_geo_sharded(
             materials=scene_shard.materials,
             textures=scene_shard.textures,
             tex_hw=scene_shard.tex_hw,
-            tex_quads=scene_shard.tex_quads,
         )
         bvh = assemble_bvh(full, verts_t, normals_t, codes, lmin, lmax, cfg)
         return _trace_tile(full, bvh, rays_tile, cfg, wvp)

@@ -662,21 +662,15 @@ def _shade_rays_one(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig,
     apply to primary hits; bounce passes keep the reference's unshadowed
     lerp chain."""
     o3, d3 = _split_rays(rays)
-    # one quad table shared by every pass: the scene's precomputed
-    # morton-swizzled table when present (scene_to_device), else a
-    # row-major pack per frame (see ops/shade.pack_texture_quads)
-    if scene.tex_quads is not None:
-        tex_quads = scene.tex_quads
-    else:
-        tex_quads = shade_ops.pack_texture_quads(scene.textures, scene.tex_hw)
+    # one quad table per frame, shared by every pass (see
+    # ops/shade.pack_texture_quads; a precomputed morton-swizzled table
+    # was tried in round 3 and measured slower end-to-end — see
+    # sample_texture_quads)
+    tex_quads = shade_ops.pack_texture_quads(scene.textures, scene.tex_hw)
     if cfg.texture_dtype == "uint8":
-        sg = jax.lax.stop_gradient
-        if isinstance(tex_quads, shade_ops.TexQuads):
-            tex_quads = tex_quads.replace(
-                quads=shade_ops.quantize_quads_u8(sg(tex_quads.quads))
-            )
-        else:
-            tex_quads = shade_ops.quantize_quads_u8(sg(tex_quads))
+        tex_quads = shade_ops.quantize_quads_u8(
+            jax.lax.stop_gradient(tex_quads)
+        )
     color, refl, intensity, refr, refr_int = _launch_soa(
         scene, bvh, o3, d3, cfg, tex_quads, light3
     )

@@ -120,14 +120,6 @@ def d_frame_u8(b, r):
     return color.sum()
 
 
-scene_rowmajor = scene.replace(tex_quads=None)
-
-
-def d_frame_rowmajor(b, r):
-    color = shade_rays(scene_rowmajor, b, r, cfg)
-    return color.sum()
-
-
 def d_tex(b, r):
     # texture quad gather+bilerp alone, at frame scale (2.07M lookups)
     rec = _traverse_ids(b, r, cfg)
@@ -158,9 +150,7 @@ for name, digest in (
     prev = m
 
 print("-- texture table variants --", flush=True)
-marginal("frame rowmajor quads", d_frame_rowmajor)
-marginal("frame morton quads", d_frame)
-marginal("frame morton + u8", d_frame_u8)
+marginal("frame u8 quads", d_frame_u8)
 
 print("-- tile-16 ray order --", flush=True)
 marginal("traverse tile16", d_trav, r=rays_t16)
