@@ -228,6 +228,25 @@ def main():
         large["fwd_mrays_per_sec"] = width * height / t_fl / 1e6
         print(f"# large scene fwd frame: {t_fl*1e3:.1f} ms -> "
               f"{large['fwd_mrays_per_sec']:.2f} Mrays/s", file=sys.stderr)
+
+        # fwd+bwd at 102k tris (BASELINE config 5: "100k+ tris ...
+        # grads psum'd"): vertex/material grads through the hbm
+        # traversal (stop-grad ids) + XLA shade gather.  Gradient parity
+        # vs the jnp backend: tests/test_traverse_hbm.py
+        # test_hbm_backend_grads_match.
+        params_l = init_params(scene_l)
+        target_l = jnp.zeros((height, width, 4), jnp.float32)
+        grad_l = jax.jit(jax.value_and_grad(
+            lambda p: loss_fn(p, scene_l, cam, target_l, cfg_l)))
+        t_gl = timed(grad_l, params_l, warmup=1, iters=3)
+        _, g_l = grad_l(params_l)
+        g_finite = bool(np.isfinite(np.asarray(g_l.vert_offsets)).all())
+        large["fwd_bwd_ms"] = t_gl * 1e3
+        large["fwd_bwd_mrays_per_sec"] = width * height / t_gl / 1e6
+        large["fwd_bwd_grads_finite"] = g_finite
+        print(f"# large scene fwd+bwd: {t_gl*1e3:.1f} ms -> "
+              f"{large['fwd_bwd_mrays_per_sec']:.2f} Mrays/s "
+              f"(grads finite: {g_finite})", file=sys.stderr)
     except Exception as e:  # pragma: no cover - report, don't kill bench
         large["error"] = f"{type(e).__name__}: {e}"
         print(f"# large scene bench failed: {large['error']}",

@@ -106,3 +106,30 @@ def test_hbm_pipeline_backend():
         render_frame_jit(scene, cam, base.replace(traversal_backend="hbm"))
     )
     np.testing.assert_allclose(img_hbm, img_jnp, rtol=1e-4, atol=1e-4)
+
+
+def test_hbm_backend_grads_match():
+    """Gradient parity through the hbm backend (BASELINE config 5 class:
+    the large-scene fwd+bwd path is hbm traversal + XLA shade gather).
+    Traversal ids are stop-grad, so equal hit records must give equal
+    grads — this exercises the per-build hbm-table pack under autodiff
+    (shade_rays packs it inside the differentiated function)."""
+    import jax
+
+    from raytracebvh_tpu.models.inverse import init_params, loss_fn
+
+    scene = scene_to_device(random_triangles(120, seed=6, with_texture=True))
+    cam = Camera.default()
+    base = RenderConfig(width=16, height=16, bounces=1)
+    target = np.zeros((16, 16, 4), np.float32)
+    params = init_params(scene)
+
+    def grads(cfg):
+        g = jax.grad(lambda p: loss_fn(p, scene, cam, target, cfg))(params)
+        return jax.tree_util.tree_map(np.asarray, g)
+
+    g_jnp = grads(base)
+    g_hbm = grads(base.replace(traversal_backend="hbm"))
+    for a, b in zip(jax.tree_util.tree_leaves(g_jnp),
+                    jax.tree_util.tree_leaves(g_hbm)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
