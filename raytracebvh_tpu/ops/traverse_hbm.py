@@ -1,14 +1,14 @@
-"""HBM-resident windowed rank-sweep traversal.
+"""HBM-resident windowed rank-sweep traversal (persistent refill kernel).
 
 The large-scene traversal backend.  Two problems with the VMEM kernels
-(ops/traverse_pallas.py, ops/traverse_sweep.py) at 100k+ triangles:
+(ops/traverse_pallas.py) at 100k+ triangles:
 
   * capacity: they pin the whole node table in VMEM (~150k-leaf ceiling);
     the reference's tree lives in a GPU UAV with no such cap
     (reference: RayTraceGlobal.hlsl:113).
   * speed: the per-lane gather kernels decompose every step's gather over
     the full divergence range of the tile (measured 0.02 Mrays/s at 102k
-    tris), and the plain column sweep pays one step per *union* column.
+    tris).
 
 Design here:
 
@@ -21,22 +21,26 @@ Design here:
     In rank space descend is ``rank+1`` and every other move strictly
     increases rank, so a ray's column accesses are monotone.
 
-  * Rays run in blocks laid out (S, 128) — full 8x128 vregs, not the
-    (1, w) rows of the older kernels (which use 1 of 8 sublanes).
+  * Rays run in 1024-ray blocks laid out (S, 128) — full 8x128 vregs.
+    Each block sweeps the tree front-to-back through a VMEM **window**
+    of ``win`` consecutive ranks, double-buffered: while the block
+    drains window w, the DMA engine prefetches w+win (a skip past the
+    prediction pays one blocking re-fetch).  Within a window, each
+    micro-step serves the 128-rank *subtile* holding the minimum live
+    rank: one VMEM slice [17, 128], one sublane-broadcast + lane-shuffle
+    per channel, slab test + Moeller-Trumbore, advance.
 
-  * The tile sweeps the tree front-to-back through a VMEM **window** of
-    ``win`` consecutive ranks, double-buffered: while the tile drains
-    window w, the DMA engine prefetches w+win (sequential prediction;
-    a skip past the prediction pays one blocking re-fetch).  Total HBM
-    traffic per ray tile = the windows its rays' paths touch — nothing
-    else — and VMEM holds only 2 windows (~270 KB), so scene size is
-    bounded by HBM, not VMEM.
-
-  * Within a window, each micro-step serves the 128-rank *subtile*
-    holding the minimum live rank: one VMEM slice [17, 128], one
-    sublane-broadcast + lane-shuffle per channel, slab test + Moeller-
-    Trumbore, advance.  Lanes in later subtiles wait (their turn comes,
-    monotonically); there is no per-lane gather across the tree, ever.
+  * **Persistent refill** (the round-4 rework): the micro-step is
+    LATENCY-bound, not throughput-bound — doubling its 17-channel
+    shuffle costs +39 cycles and doubling the slab+MT math costs ~0,
+    against a measured 645-cycle step (scripts/tpu_sweep_diag.py).  The
+    serial chain min-rank -> scalar -> dynamic-slice -> gather leaves
+    the VPU idle.  So ONE grid instance runs ``interleave`` (default 8)
+    independent ray blocks as *slots*: their chains overlap in the VLIW
+    schedule, and a slot that finishes its block DMAs the results out,
+    DMAs the next block's rays in, and restarts — no fixed-group
+    lockstep, zero wasted serves.  Measured at 102 400 tris / 1080p:
+    167 ms (r3 single-block kernel) -> 73 ms, exact hit parity.
 
 Algorithm semantics are the reference's traversal
 (reference: RayTraceTraversal.hlsl:41-104,133-192): slab test, nearest-
@@ -46,7 +50,7 @@ ops/traverse.traverse (tests/test_traverse_hbm.py, tests/test_tpu_device.py).
 
 from __future__ import annotations
 
-import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -58,14 +62,17 @@ from ..core.types import BVH, HitRecord, Rays
 LANES = 128
 CH = 17  # 6 box + skip + orig + 9 tri
 CHP = 24  # sublane-padded channel count: DMA slices need dim0 % 8 == 0
+RCH = 10  # ray channels: o.xyz, d.xyz, 1/d.xyz, tmax (any-hit only)
 BIGBOX = 1.0e30
+DEFAULT_WIN = 1024
+DEFAULT_INTERLEAVE = 8
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def pack_table_rank17(bvh: BVH, win: int = 1024):
+def pack_table_rank17(bvh: BVH, win: int = DEFAULT_WIN):
     """The fused rank-space node table, window/subtile-major
     ``[nw, win/128, CHP, 128]`` (see module doc for the channel layout).
 
@@ -197,150 +204,223 @@ def _slab_mt(row, ox, oy, oz, dx, dy, dz, idx_, idy_, idz_, epsilon):
     return tmin, box_ok, t, tri_ok
 
 
-def _make_kernel(any_hit, *, n_leaves, wb, win, s, epsilon, max_steps):
-    """Shared windowed-sweep kernel body; ``any_hit`` switches between
-    nearest-hit and first-hit (occlusion) semantics."""
-    two_n = 2 * n_leaves
-    done = wb  # rank sentinel for finished lanes
+def _make_refill_kernel(any_hit, T, *, n_leaves, ntiles, wb, win, s,
+                        epsilon, max_iters):
+    """Persistent T-slot refill sweep (module doc).  ``any_hit``
+    switches between nearest-hit and first-hit (occlusion) semantics."""
+    done = wb
+    ksub = win // LANES
 
-    def kernel(*refs):
-        if any_hit:
-            tbl_hbm, o_ref, d_ref, tmax_ref, out_ref, wbuf, sem = refs
-            ray_tmax = tmax_ref[0, 0]
-        else:
-            tbl_hbm, o_ref, d_ref, out_ref, wbuf, sem = refs
-
-        ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
-        dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
-        idx_ = 1.0 / dx
-        idy_ = 1.0 / dy
-        idz_ = 1.0 / dz
-
-        def dma(slot, w0):
-            # w0 is always a multiple of win; the copy indexes the table
-            # by window id — an untiled leading dim, any dynamic value ok
+    def kernel(tbl_hbm, rays_hbm, out_hbm, wbuf, rbuf, obuf,
+               wsem, rsem, osem):
+        def wdma(t, slot, w0):
             return pltpu.make_async_copy(
-                tbl_hbm.at[w0 // win], wbuf.at[slot], sem.at[slot]
+                tbl_hbm.at[w0 // win], wbuf.at[t, slot], wsem.at[t, slot]
             )
 
-        # warm-up: every lane starts at rank 0, so window 0 first
-        dma(0, 0).start()
-        dma(0, 0).wait()
+        def rdma(t, blk):
+            return pltpu.make_async_copy(
+                rays_hbm.at[blk], rbuf.at[t], rsem.at[t]
+            )
 
-        def micro(state):
-            """One subtile step: serve lanes in the 128-rank subtile
-            holding the minimum in-window rank."""
-            node, hit, dist, leaf, w0, slot, step = state
-            in_win = (node >= w0) & (node < w0 + win)
-            offw = jnp.where(in_win, node - w0, win)  # win = +inf marker
-            k0 = jnp.min(offw) // LANES  # scalar: subtile of min rank
-            off = offw - k0 * LANES
-            active = in_win & (off >= 0) & (off < LANES)
+        def odma(t, blk):
+            return pltpu.make_async_copy(
+                obuf.at[t], out_hbm.at[blk], osem.at[t]
+            )
+
+        # preload: slot t <- block t
+        for t in range(min(T, ntiles)):
+            rdma(t, t).start()
+            wdma(t, 0, 0).start()
+        for t in range(min(T, ntiles)):
+            rdma(t, t).wait()
+            wdma(t, 0, 0).wait()
+            if win < wb:
+                wdma(t, 1, win).start()
+
+        def serve(t, sub, k, node, hit, dist, leaf, w0):
+            """One micro-step for slot ``t``: serve lanes whose rank sits
+            in 128-rank subtile ``k`` of the current window."""
+            offw = jnp.where((node >= w0) & (node < w0 + win),
+                             node - w0, win)
+            ox, oy, oz = rbuf[t, 0], rbuf[t, 1], rbuf[t, 2]
+            dx, dy, dz = rbuf[t, 3], rbuf[t, 4], rbuf[t, 5]
+            idx_, idy_, idz_ = rbuf[t, 6], rbuf[t, 7], rbuf[t, 8]
+            off = offw - k * LANES
+            active = (off >= 0) & (off < LANES) & (offw < win)
             lane = jnp.clip(off, 0, LANES - 1)
-
-            sub = wbuf[slot, k0]  # [24, 128] — untiled leading indices
             row = _splat(sub, lane, s)
             skipr = pltpu.bitcast(row[6], jnp.int32)
             skipr = jnp.where(skipr < 0, done, skipr)
             orig = pltpu.bitcast(row[7], jnp.int32)
             is_leaf = orig < n_leaves
-
-            tmin, box_ok, t, tri_ok = _slab_mt(
+            tmin, box_ok, tt, tri_ok = _slab_mt(
                 row, ox, oy, oz, dx, dy, dz, idx_, idy_, idz_, epsilon
             )
-
             if any_hit:
-                occ = hit
+                ray_tmax = rbuf[t, 9]
                 bhit = box_ok & (tmin <= ray_tmax) & active
-                found = bhit & is_leaf & tri_ok & (t < ray_tmax)
-                occ = jnp.where(found, 1, occ)
+                found = bhit & is_leaf & tri_ok & (tt < ray_tmax)
+                hit = jnp.where(found, 1, hit)
                 nxt = jnp.where(bhit & jnp.logical_not(is_leaf),
                                 node + 1, skipr)
                 nxt = jnp.where(found, done, nxt)  # early exit
                 node = jnp.where(active, nxt, node)
-                return node, occ, dist, leaf, w0, slot, step + 1
-            else:
-                hitb = hit > 0
-                bhit = (
-                    box_ok
-                    & (jnp.logical_not(hitb) | (tmin <= dist)) & active
-                )
-                upd = (
-                    bhit & is_leaf & tri_ok
-                    & (jnp.logical_not(hitb) | (t < dist))
-                )
-                dist = jnp.where(upd, t, dist)
-                leaf = jnp.where(upd, orig, leaf)
-                hit = jnp.where(upd, 1, hit)
-                nxt = jnp.where(bhit & jnp.logical_not(is_leaf),
-                                node + 1, skipr)
-                node = jnp.where(active, nxt, node)
-                return node, hit, dist, leaf, w0, slot, step + 1
+                return node, hit, dist, leaf
+            hitb = hit > 0
+            bhit = box_ok & (jnp.logical_not(hitb) | (tmin <= dist)) & active
+            upd = (bhit & is_leaf & tri_ok
+                   & (jnp.logical_not(hitb) | (tt < dist)))
+            dist = jnp.where(upd, tt, dist)
+            leaf = jnp.where(upd, orig, leaf)
+            hit = jnp.where(upd, 1, hit)
+            nxt = jnp.where(bhit & jnp.logical_not(is_leaf), node + 1, skipr)
+            node = jnp.where(active, nxt, node)
+            return node, hit, dist, leaf
 
-        def micro_cond(state):
-            node, _, _, _, w0, _, step = state
-            stay = (node >= w0) & (node < w0 + win)
-            return jnp.logical_and(jnp.any(stay), step < max_steps)
+        def body(state):
+            (nodes, hits, dists, leafs, w0s, slots, blks, stepc, pos, nb,
+             it) = state
+            nodes, hits, dists, leafs = (list(nodes), list(hits),
+                                         list(dists), list(leafs))
+            w0s, slots, blks, stepc, pos = (list(w0s), list(slots),
+                                            list(blks), list(stepc),
+                                            list(pos))
 
-        def outer(state):
-            node, hit, dist, leaf, w0, slot, step = state
-            pred = w0 + win
-            started = pred < wb
+            # phase 1: per-slot global min rank (T independent reduces;
+            # ranks are monotone, so min >= w0+win <=> window drained)
+            ms = [jnp.min(nodes[t]) for t in range(T)]
+            refills = []
 
-            @pl.when(started)
-            def _():
-                dma(1 - slot, pred).start()
+            # phase 2: window logistics + refill (rare scalar branches)
+            for t in range(T):
+                live = blks[t] >= 0
+                drained = live & (ms[t] >= w0s[t] + win) & (w0s[t] < wb)
+                nxt_w0 = jnp.minimum(ms[t] // win * win, wb)
+                pred = w0s[t] + win
 
-            state = jax.lax.while_loop(
-                micro_cond, micro,
-                (node, hit, dist, leaf, w0, slot, step),
-            )
-            node, hit, dist, leaf, _, _, step = state
+                @pl.when(drained)
+                def _(t=t, nxt_w0=nxt_w0, pred=pred):
+                    @pl.when(pred < wb)
+                    def _():  # consume the standing prefetch
+                        wdma(t, 1 - slots[t], pred).wait()
 
-            # after the drain every live rank is >= w0 + win (monotone)
-            m = jnp.min(node)
-            next_w0 = jnp.minimum(m // win * win, wb)
+                    @pl.when((nxt_w0 < wb) & (nxt_w0 != pred))
+                    def _():  # mispredicted skip-ahead: blocking re-fetch
+                        wdma(t, 1 - slots[t], nxt_w0).start()
+                        wdma(t, 1 - slots[t], nxt_w0).wait()
 
-            @pl.when(started)
-            def _():  # consume the prediction (right or wrong)
-                dma(1 - slot, pred).wait()
+                w0_a = jnp.where(drained, nxt_w0, w0s[t])
+                slot_a = jnp.where(drained & (nxt_w0 < wb),
+                                   1 - slots[t], slots[t])
 
-            @pl.when(jnp.logical_and(next_w0 < wb, next_w0 != pred))
-            def _():  # mispredicted skip-ahead: blocking re-fetch
-                dma(1 - slot, next_w0).start()
-                dma(1 - slot, next_w0).wait()
+                @pl.when(drained & (nxt_w0 < wb) & (nxt_w0 + win < wb))
+                def _(t=t, slot_a=slot_a, nxt_w0=nxt_w0):
+                    wdma(t, 1 - slot_a, nxt_w0 + win).start()
 
-            slot = jnp.where(next_w0 < wb, 1 - slot, slot)
-            return node, hit, dist, leaf, next_w0, slot, step
+                # block finished: write out, refill or retire
+                fin = live & (w0_a >= wb)
+                refill = fin & (nb < ntiles)
 
-        def outer_cond(state):
-            _, _, _, _, w0, _, step = state
-            return jnp.logical_and(w0 < wb, step < max_steps)
+                @pl.when(fin)
+                def _(t=t, dist=dists[t], leaf=leafs[t], hit=hits[t],
+                      st=stepc[t], blk=blks[t], refill=refill, nb=nb,
+                      po=pos[t]):
+                    # obuf[t] may still be in flight from this slot's
+                    # previous block — wait that copy before overwriting
+                    # (the semaphore counts bytes; any same-shape
+                    # descriptor works for the wait)
+                    @pl.when(po > 0)
+                    def _():
+                        odma(t, 0).wait()
+
+                    if any_hit:
+                        obuf[t, 0] = pltpu.bitcast(hit, jnp.float32)
+                        obuf[t, 1] = jnp.zeros((s, LANES), jnp.float32)
+                        obuf[t, 2] = jnp.zeros((s, LANES), jnp.float32)
+                    else:
+                        obuf[t, 0] = dist
+                        obuf[t, 1] = pltpu.bitcast(leaf, jnp.float32)
+                        obuf[t, 2] = pltpu.bitcast(hit, jnp.float32)
+                    obuf[t, 3] = pltpu.bitcast(
+                        jnp.full((s, LANES), st, jnp.int32), jnp.float32)
+                    odma(t, blk).start()
+
+                    @pl.when(refill)
+                    def _():
+                        rdma(t, nb).start()
+                        wdma(t, 0, 0).start()
+                        rdma(t, nb).wait()
+                        wdma(t, 0, 0).wait()
+
+                        @pl.when(win < wb)
+                        def _():
+                            wdma(t, 1, win).start()
+
+                zero = jnp.zeros((s, LANES), jnp.int32)
+                nodes[t] = jnp.where(refill, zero, nodes[t])
+                hits[t] = jnp.where(refill, zero, hits[t])
+                dists[t] = jnp.where(
+                    refill, jnp.zeros((s, LANES), jnp.float32), dists[t])
+                leafs[t] = jnp.where(refill, zero, leafs[t])
+                stepc[t] = jnp.where(refill, 0, stepc[t])
+                w0s[t] = jnp.where(refill, 0, jnp.where(fin, wb, w0_a))
+                slots[t] = jnp.where(refill, 0, slot_a)
+                blks[t] = jnp.where(refill, nb,
+                                    jnp.where(fin, -1, blks[t]))
+                pos[t] = jnp.where(fin, 1, pos[t])
+                nb = nb + jnp.where(refill, 1, 0)
+                refills.append(refill)
+
+            # phase 3a: subtile loads — all T issued before any serve,
+            # so no serve waits on another slot's scalar->address chain
+            ks = []
+            subs = []
+            for t in range(T):
+                m = jnp.where(refills[t], 0, ms[t])  # refilled: rank 0
+                ks.append(jnp.clip((m - w0s[t]) // LANES, 0, ksub - 1))
+                subs.append(wbuf[t, slots[t], ks[t]])
+
+            # phase 3b: serves — T independent pure-vector chains in one
+            # straight-line block; the VLIW scheduler overlaps them
+            for t in range(T):
+                nodes[t], hits[t], dists[t], leafs[t] = serve(
+                    t, subs[t], ks[t], nodes[t], hits[t], dists[t],
+                    leafs[t], w0s[t])
+                stepc[t] = stepc[t] + jnp.where(blks[t] >= 0, 1, 0)
+
+            return (tuple(nodes), tuple(hits), tuple(dists), tuple(leafs),
+                    tuple(w0s), tuple(slots), tuple(blks), tuple(stepc),
+                    tuple(pos), nb, it + 1)
+
+        def cond(state):
+            blks = state[6]
+            it = state[10]
+            live = blks[0] >= 0
+            for t in range(1, T):
+                live = live | (blks[t] >= 0)
+            return live & (it < max_iters)
 
         zero = jnp.zeros((s, LANES), jnp.int32)
+        zf = jnp.zeros((s, LANES), jnp.float32)
         state = (
-            zero,  # rank 0 = root
-            zero,  # hit / occ
-            jnp.zeros((s, LANES), jnp.float32),
-            zero,  # leaf id
-            jnp.int32(0),  # w0
-            jnp.int32(0),  # slot
-            jnp.int32(0),  # step
+            tuple(zero for _ in range(T)),
+            tuple(zero for _ in range(T)),
+            tuple(zf for _ in range(T)),
+            tuple(zero for _ in range(T)),
+            tuple(jnp.int32(0 if t < ntiles else wb) for t in range(T)),
+            tuple(jnp.int32(0) for _ in range(T)),
+            tuple(jnp.int32(t if t < ntiles else -1) for t in range(T)),
+            tuple(jnp.int32(0) for _ in range(T)),
+            tuple(jnp.int32(0) for _ in range(T)),  # pending out-DMA
+            jnp.int32(min(T, ntiles)),  # next block to hand out
+            jnp.int32(0),  # global iteration counter
         )
-        node, hit, dist, leaf, _, _, step = jax.lax.while_loop(
-            outer_cond, outer, state
-        )
-        if any_hit:
-            out_ref[0, 0] = pltpu.bitcast(hit, jnp.float32)
-        else:
-            out_ref[0, 0] = dist
-            out_ref[0, 1] = pltpu.bitcast(leaf, jnp.float32)
-            out_ref[0, 2] = pltpu.bitcast(hit, jnp.float32)
-            # micro-step count of this tile's sweep (same scalar in every
-            # lane) — the roofline/utilization accounting reads it
-            out_ref[0, 3] = pltpu.bitcast(
-                jnp.full((s, LANES), step, jnp.int32), jnp.float32
-            )
+        jax.lax.while_loop(cond, body, state)
+
+        # drain: every slot that ran has exactly one out-DMA in flight
+        for t in range(min(T, ntiles)):
+            odma(t, 0).wait()
 
     return kernel
 
@@ -363,58 +443,84 @@ def _prep_rays_blocked(rays: Rays, block_rays: int):
     return origin, direction, nrays, ntiles, s
 
 
+def _resolve_table(bvh: BVH, win):
+    """The node table + window size: the bvh's precomputed table when
+    present (its window size wins — warn on an explicit conflict)."""
+    if bvh.hbm_table is not None:
+        tbl = bvh.hbm_table
+        twin = tbl.shape[1] * LANES
+        if win is not None and win != twin:
+            warnings.warn(
+                f"traverse_hbm: bvh.hbm_table was packed with win={twin}; "
+                f"ignoring win={win} (repack with pack_table_rank17 to "
+                "sweep window sizes)", stacklevel=3)
+        return tbl, twin
+    win = DEFAULT_WIN if win is None else win
+    return pack_table_rank17(bvh, win), win
+
+
+def _run_refill(any_hit, bvh, rays9, ntiles, s, tbl, win, epsilon,
+                max_steps, interleave, interpret):
+    n = bvh.n_leaves
+    wb = tbl.shape[0] * win
+    # iteration backstop only (normal exit: all blocks retired); ~4n
+    # bounds one block's walk, x ntiles bounds the frame
+    per_block = max_steps if max_steps > 0 else 4 * n
+    max_iters = min(int(per_block) * max(ntiles, 1) + 64, 2 ** 30)
+    T = max(1, interleave)
+    kernel = _make_refill_kernel(
+        any_hit, T, n_leaves=n, ntiles=ntiles, wb=wb, win=win, s=s,
+        epsilon=epsilon, max_iters=max_iters,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # node table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # ray blocks stay in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((ntiles, 4, s, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((T, 2, win // LANES, CHP, LANES), jnp.float32),
+            pltpu.VMEM((T, RCH, s, LANES), jnp.float32),
+            pltpu.VMEM((T, 4, s, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((T, 2)),
+            pltpu.SemaphoreType.DMA((T,)),
+            pltpu.SemaphoreType.DMA((T,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(tbl, rays9)
+
+
 def traverse_hbm_pallas(
     bvh: BVH,
     rays: Rays,
     epsilon: float,
     max_steps: int = 0,
-    block_rays: int = 1024,
-    win: int = 1024,
+    block_rays: int = 2048,
+    win: int | None = None,
     interpret: bool | None = None,
     return_steps: bool = False,
+    interleave: int = DEFAULT_INTERLEAVE,
 ):
     """Nearest-hit traversal, HBM-resident tree (see module doc).  Same
     contract as ops.traverse.traverse; no scene-size VMEM ceiling.
 
-    ``return_steps=True`` additionally returns the [ntiles] per-tile
+    ``return_steps=True`` additionally returns the [ntiles] per-block
     micro-step counts (for utilization accounting in bench.py)."""
-    n = bvh.n_leaves
-    if max_steps <= 0:
-        max_steps = 4 * n
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if bvh.hbm_table is not None:
-        tbl = bvh.hbm_table
-        win = tbl.shape[1] * LANES  # the table's own window size wins
-    else:
-        tbl = pack_table_rank17(bvh, win)
-    wb = tbl.shape[0] * win
+    tbl, win = _resolve_table(bvh, win)
     origin, direction, nrays, ntiles, s = _prep_rays_blocked(rays, block_rays)
+    inv = 1.0 / direction
+    pad = jnp.zeros((ntiles, RCH - 9, s, LANES), jnp.float32)
+    rays9 = jnp.concatenate([origin, direction, inv, pad], axis=1)
 
-    kernel = _make_kernel(
-        False, n_leaves=n, wb=wb, win=win, s=s,
-        epsilon=epsilon, max_steps=max_steps,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # node table stays in HBM
-            pl.BlockSpec((1, 3, s, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, s, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 4, s, LANES), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ntiles, 4, s, LANES), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, win // LANES, CHP, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(tbl, origin, direction)
-
+    out = _run_refill(False, bvh, rays9, ntiles, s, tbl, win, epsilon,
+                      max_steps, interleave, interpret)
     steps = jax.lax.bitcast_convert_type(out[:, 3, 0, 0], jnp.int32)
     out = out[:, :3].transpose(1, 0, 2, 3).reshape(3, ntiles * s * LANES)
     dist = out[0, :nrays]
@@ -432,53 +538,24 @@ def traverse_any_hbm_pallas(
     epsilon: float,
     max_t,
     max_steps: int = 0,
-    block_rays: int = 1024,
-    win: int = 1024,
+    block_rays: int = 2048,
+    win: int | None = None,
     interpret: bool | None = None,
+    interleave: int = DEFAULT_INTERLEAVE,
 ):
-    """Any-hit (occlusion) windowed sweep: [R] bool."""
-    n = bvh.n_leaves
-    if max_steps <= 0:
-        max_steps = 4 * n
+    """Any-hit (occlusion) refill sweep: [R] bool."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if bvh.hbm_table is not None:
-        tbl = bvh.hbm_table
-        win = tbl.shape[1] * LANES
-    else:
-        tbl = pack_table_rank17(bvh, win)
-    wb = tbl.shape[0] * win
+    tbl, win = _resolve_table(bvh, win)
     origin, direction, nrays, ntiles, s = _prep_rays_blocked(rays, block_rays)
+    inv = 1.0 / direction
     rpad = ntiles * s * LANES
     tmax = jnp.full((rpad,), -1.0, jnp.float32).at[:nrays].set(
         jnp.asarray(max_t, jnp.float32)
     ).reshape(ntiles, 1, s, LANES)
+    rays9 = jnp.concatenate([origin, direction, inv, tmax], axis=1)
 
-    kernel = _make_kernel(
-        True, n_leaves=n, wb=wb, win=win, s=s,
-        epsilon=epsilon, max_steps=max_steps,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 3, s, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, s, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, s, LANES), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ntiles, 1, s, LANES), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, win // LANES, CHP, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(tbl, origin, direction, tmax)
-
-    occ = out.reshape(rpad)[:nrays]
+    out = _run_refill(True, bvh, rays9, ntiles, s, tbl, win, epsilon,
+                      max_steps, interleave, interpret)
+    occ = out[:, 0].reshape(rpad)[:nrays]
     return jax.lax.bitcast_convert_type(occ, jnp.int32) > 0

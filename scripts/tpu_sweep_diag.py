@@ -1,21 +1,17 @@
 #!/usr/bin/env python
 """Attribute the HBM windowed-sweep's per-micro-step cost on device.
 
-bench.py r3: 102k tris -> 260669 steps in 167 ms = ~600 cycles/step vs
-the ~110-op VPU model (18% of light).  This script times instrumented
-kernel variants (same table, same rays) and normalizes by each variant's
-own measured step count:
+bench.py r3: 102k tris -> 260669 steps in 167 ms = ~617 cycles/step vs
+the ~110-op VPU model (18% of light).  Control flow must be identical
+across variants or step counts diverge (a pinned-k0 variant livelocks),
+so costs are measured by DOUBLING a component and consuming the copy
+through a cheap compare (marginal cost = T(dbl) - T(base)):
 
-  base      — the shipping kernel (+ mispredict / window counters)
-  nok0      — subtile id pinned to the min-lane's value computed but
-              UNUSED for addressing (removes the scalar->address
-              dependency, keeps the ops)
-  noshuffle — per-lane gather replaced by a plain sublane broadcast
-              (removes 17 take_along_axis; results invalid)
-  nomath    — slab+MT replaced by trivial arithmetic (results invalid)
-
-Invalid variants still advance lanes monotonically (nxt = node+1 /
-skip), so their step counts stay comparable.
+  base        — shipping kernel + window/mispredict counters
+  dbl_shuffle — second 17-channel _splat per step
+  dbl_math    — second _slab_mt per step
+  serve2      — REAL candidate: serve the two lowest occupied subtiles
+                per iteration (two shuffles+tests per scalar chain)
 
 Run: python scripts/tpu_sweep_diag.py [subdiv]
 """
@@ -62,39 +58,20 @@ def make_diag_kernel(variant, *, n_leaves, wb, win, s, epsilon, max_steps):
         dma(0, 0).start()
         dma(0, 0).wait()
 
-        def micro(state):
-            node, hit, dist, leaf, w0, slot, step, nmiss, nwin = state
-            in_win = (node >= w0) & (node < w0 + win)
-            offw = jnp.where(in_win, node - w0, win)
-            k0 = jnp.min(offw) // LANES
-            if variant == "nok0":
-                # keep the reduction (feeds nothing), pin the address
-                k0 = k0 * 0
-            off = offw - k0 * LANES
-            active = in_win & (off >= 0) & (off < LANES)
+        def serve(sub, offw, k, node, hit, dist, leaf, gate):
+            """Serve lanes whose rank sits in 128-rank subtile ``k`` of
+            the window; ``gate`` masks the whole serve (serve2 dedup)."""
+            off = offw - k * LANES
+            active = (off >= 0) & (off < LANES) & (offw < win) & gate
             lane = jnp.clip(off, 0, LANES - 1)
-
-            sub = wbuf[slot, k0]
-            if variant == "noshuffle":
-                row = [jnp.broadcast_to(sub[c:c + 1, :], (s, LANES))
-                       for c in range(CH)]
-            else:
-                row = _splat(sub, lane, s)
+            row = _splat(sub, lane, s)
             skipr = pltpu.bitcast(row[6], jnp.int32)
             skipr = jnp.where(skipr < 0, done, skipr)
             orig = pltpu.bitcast(row[7], jnp.int32)
             is_leaf = orig < n_leaves
-
-            if variant == "nomath":
-                tmin = row[0] + row[1]
-                box_ok = tmin < 1.0e30
-                t = row[8] + row[9]
-                tri_ok = t > 0.0
-            else:
-                tmin, box_ok, t, tri_ok = _slab_mt(
-                    row, ox, oy, oz, dx, dy, dz, idx_, idy_, idz_, epsilon
-                )
-
+            tmin, box_ok, t, tri_ok = _slab_mt(
+                row, ox, oy, oz, dx, dy, dz, idx_, idy_, idz_, epsilon
+            )
             hitb = hit > 0
             bhit = box_ok & (jnp.logical_not(hitb) | (tmin <= dist)) & active
             upd = (bhit & is_leaf & tri_ok
@@ -104,6 +81,41 @@ def make_diag_kernel(variant, *, n_leaves, wb, win, s, epsilon, max_steps):
             hit = jnp.where(upd, 1, hit)
             nxt = jnp.where(bhit & jnp.logical_not(is_leaf), node + 1, skipr)
             node = jnp.where(active, nxt, node)
+            return node, hit, dist, leaf, row
+
+        def micro(state):
+            node, hit, dist, leaf, w0, slot, step, nmiss, nwin = state
+            in_win = (node >= w0) & (node < w0 + win)
+            offw = jnp.where(in_win, node - w0, win)
+            k0 = jnp.min(offw) // LANES
+            sub = wbuf[slot, k0]
+            true_ = jnp.full((s, LANES), True)
+            node, hit, dist, leaf, row = serve(
+                sub, offw, k0, node, hit, dist, leaf, true_)
+
+            if variant == "dbl_shuffle":
+                lane2 = jnp.clip(offw - k0 * LANES + 1, 0, LANES - 1)
+                row2 = _splat(sub, lane2, s)
+                # consume (BIGBOX never exceeded by real boxes)
+                nmiss = nmiss + jnp.where(
+                    jnp.any(row2[0] > 2.0e30), 1, 0)
+            elif variant == "dbl_math":
+                tm2, bo2, t2, to2 = _slab_mt(
+                    row, oy, oz, ox, dy, dz, dx, idy_, idz_, idx_,
+                    epsilon)
+                nmiss = nmiss + jnp.where(jnp.any(t2 > 2.0e30), 1, 0)
+            elif variant == "serve2":
+                # second-lowest occupied subtile (recompute offw from the
+                # post-serve ranks: lanes just served may re-enter)
+                in2 = (node >= w0) & (node < w0 + win)
+                offw2 = jnp.where(in2, node - w0, win)
+                k1 = jnp.min(jnp.where(
+                    offw2 // LANES == k0, win, offw2)) // LANES
+                gate = jnp.full((s, LANES), k1 > k0) & (k1 < win // LANES)
+                sub1 = wbuf[slot, jnp.minimum(k1, win // LANES - 1)]
+                node, hit, dist, leaf, _ = serve(
+                    sub1, offw2, k1, node, hit, dist, leaf, gate)
+
             return node, hit, dist, leaf, w0, slot, step + 1, nmiss, nwin
 
         def micro_cond(state):
@@ -170,7 +182,7 @@ def make_diag_kernel(variant, *, n_leaves, wb, win, s, epsilon, max_steps):
 
 
 def run_variant(variant, tbl, origin, direction, ntiles, s, n, wb, win,
-                epsilon, max_steps):
+                epsilon, max_steps, base_dt=None):
     kernel = make_diag_kernel(
         variant, n_leaves=n, wb=wb, win=win, s=s, epsilon=epsilon,
         max_steps=max_steps)
@@ -206,11 +218,13 @@ def run_variant(variant, tbl, origin, direction, ntiles, s, n, wb, win,
     hits = np.asarray(
         jax.lax.bitcast_convert_type(out[:, 2], jnp.int32) > 0).sum()
     tot = int(steps.sum())
-    print(f"{variant:10s} {dt*1e3:8.2f} ms  steps {tot:8d} "
-          f"({dt/max(tot,1)*1e9:6.1f} ns/step = "
-          f"{dt/max(tot,1)*0.94e9:6.0f} cyc)  windows/tile "
-          f"{nwin.mean():6.1f}  mispredicts/tile {miss.mean():5.1f}  "
-          f"hits {hits}", flush=True)
+    extra = ""
+    if base_dt is not None:
+        extra = f"  marginal {(dt-base_dt)/max(tot,1)*0.94e9:+6.0f} cyc/step"
+    print(f"{variant:12s} {dt*1e3:8.2f} ms  steps {tot:8d} "
+          f"({dt/max(tot,1)*0.94e9:6.0f} cyc/step)  win/tile "
+          f"{nwin.mean():5.1f}  miss/tile {miss.mean():4.1f}  "
+          f"hits {hits}{extra}", flush=True)
     return dt, tot
 
 
@@ -233,9 +247,11 @@ def main():
     origin, direction, nrays, ntiles, s = _prep_rays_blocked(rays, 1024)
     max_steps = 4 * n
 
-    for v in ("base", "nok0", "noshuffle", "nomath"):
+    base_dt, _ = run_variant("base", tbl, origin, direction, ntiles, s, n,
+                             wb, win, cfg.epsilon, max_steps)
+    for v in ("dbl_shuffle", "dbl_math", "serve2"):
         run_variant(v, tbl, origin, direction, ntiles, s, n, wb, win,
-                    cfg.epsilon, max_steps)
+                    cfg.epsilon, max_steps, base_dt)
 
 
 if __name__ == "__main__":
