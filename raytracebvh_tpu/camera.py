@@ -166,6 +166,57 @@ def permute_rays(rays: Rays, perm) -> Rays:
     )
 
 
+def structured_tile_shape(width: int, height: int, tile: int):
+    """(th, tw) for the reshape-based tile path, or None.
+
+    A tile permutation whose tile dims divide the frame is a pure
+    reshape+transpose — measured ~0-2 ms at 2M rays vs ~15 ms PER
+    2M-row gather (scripts/tpu_perm_layout.py); a tiled frame pays 10
+    such gathers (6 ray columns + 4 color channels).  Prefer a square
+    ``tile`` x ``tile``; otherwise halve the tile height until it
+    divides (1080p with tile=16 -> 8x16 = 128 px, exactly one vreg row).
+    """
+    if width % tile != 0:
+        return None
+    th = tile
+    while th > 1 and height % th != 0:
+        th //= 2
+    if th <= 1:
+        return None
+    return th, tile
+
+
+def tile_flat(x, width: int, height: int, th: int, tw: int):
+    """[height*width] row-major -> (th x tw)-tile-major, as a pure
+    reshape+transpose (see structured_tile_shape)."""
+    return (
+        x.reshape(height // th, th, width // tw, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(height * width)
+    )
+
+
+def untile_flat(x, width: int, height: int, th: int, tw: int):
+    """Inverse of tile_flat."""
+    return (
+        x.reshape(height // th, width // tw, th, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(height * width)
+    )
+
+
+def tile_rays(rays: Rays, width: int, height: int, th: int, tw: int) -> Rays:
+    """permute_rays for the structured tile order (column-wise
+    reshape+transpose, no gathers)."""
+    o = rays.origin
+    d = rays.direction
+    tf = lambda c: tile_flat(c, width, height, th, tw)
+    return Rays(
+        origin=jnp.stack([tf(o[:, k]) for k in range(3)], axis=-1),
+        direction=jnp.stack([tf(d[:, k]) for k in range(3)], axis=-1),
+    )
+
+
 def perspective_rays(cam: Camera, width: int, height: int, dtype=jnp.float32) -> Rays:
     """World-space pinhole rays (extension beyond the reference; its
     perspective only ever comes from the WVP applied to vertices)."""

@@ -641,13 +641,35 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
     if cfg.enable_shadows:
         light3 = light_in_ray_space(cfg, wvp, jnp.dtype(cfg.dtype))
     if cfg.ray_tile > 0:
-        from .camera import permute_rays, tile_order
+        from .camera import (
+            permute_rays,
+            structured_tile_shape,
+            tile_order,
+            tile_rays,
+            untile_flat,
+        )
 
-        perm, inv = tile_order(cfg.width, cfg.height, cfg.ray_tile)
-        rays = permute_rays(rays, jnp.asarray(perm))
-        color = shade_rays(scene, bvh, rays, cfg, light3)
-        inv = jnp.asarray(inv)
-        color = jnp.stack([color[:, c][inv] for c in range(4)], axis=-1)
+        st = structured_tile_shape(cfg.width, cfg.height, cfg.ray_tile)
+        if st is not None:
+            # reshape-based tile order: ~0-2 ms vs ~150 ms of 2M-row
+            # gathers for the 10 permuted columns (see
+            # camera.structured_tile_shape)
+            th, tw = st
+            rays = tile_rays(rays, cfg.width, cfg.height, th, tw)
+            color = shade_rays(scene, bvh, rays, cfg, light3)
+            color = jnp.stack(
+                [untile_flat(color[:, c], cfg.width, cfg.height, th, tw)
+                 for c in range(4)],
+                axis=-1,
+            )
+        else:
+            perm, inv = tile_order(cfg.width, cfg.height, cfg.ray_tile)
+            rays = permute_rays(rays, jnp.asarray(perm))
+            color = shade_rays(scene, bvh, rays, cfg, light3)
+            inv = jnp.asarray(inv)
+            color = jnp.stack(
+                [color[:, c][inv] for c in range(4)], axis=-1
+            )
     else:
         color = shade_rays(scene, bvh, rays, cfg, light3)
     return color.reshape(cfg.height, cfg.width, 4)

@@ -43,3 +43,50 @@ def test_tile_order_perm_inverse():
         perm, inv = tile_order(w, h, t)
         assert np.array_equal(np.sort(perm), np.arange(w * h))
         assert np.array_equal(perm[inv], np.arange(w * h))
+
+
+def test_structured_tile_matches_gather_order():
+    """The reshape-based tile path must equal the gather permutation
+    exactly (same tile-major visit order when th == tw == tile), and
+    render identical images through render_frame for rectangular tiles."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracebvh_tpu.camera import (
+        structured_tile_shape,
+        tile_flat,
+        tile_order,
+        untile_flat,
+    )
+
+    w, h, t = 32, 32, 16
+    st = structured_tile_shape(w, h, t)
+    assert st == (16, 16)
+    perm, inv = tile_order(w, h, t)
+    x = np.arange(w * h, dtype=np.float32)
+    got = np.asarray(tile_flat(jnp.asarray(x), w, h, *st))
+    np.testing.assert_array_equal(got, x[perm])
+    back = np.asarray(untile_flat(jnp.asarray(got), w, h, *st))
+    np.testing.assert_array_equal(back, x)
+
+    # rectangular fallback shape: height not divisible by 16
+    assert structured_tile_shape(32, 24, 16) == (8, 16)
+    got = np.asarray(tile_flat(jnp.asarray(
+        np.arange(32 * 24, dtype=np.float32)), 32, 24, 8, 16))
+    back = np.asarray(untile_flat(jnp.asarray(got), 32, 24, 8, 16))
+    np.testing.assert_array_equal(back, np.arange(32 * 24, dtype=np.float32))
+
+
+def test_structured_tile_render_identical():
+    from raytracebvh_tpu import Camera, RenderConfig, render_frame_jit
+    from raytracebvh_tpu.core.types import scene_to_device
+    from raytracebvh_tpu.models.procedural import random_triangles
+    import numpy as np
+
+    scene = scene_to_device(random_triangles(80, seed=3, with_texture=True))
+    cam = Camera.default()
+    # 24 rows: structured shape (8, 16) — the rectangular path
+    base = RenderConfig(width=32, height=24, bounces=1, ortho_scale=0.2)
+    a = np.asarray(render_frame_jit(scene, cam, base))
+    b = np.asarray(render_frame_jit(scene, cam, base.replace(ray_tile=16)))
+    np.testing.assert_allclose(a, b, atol=2e-5)
