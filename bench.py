@@ -70,7 +70,11 @@ def main():
     scene = scene_to_device(scene_h)
 
     width, height, bounces = 1920, 1080, 1
-    cfg = RenderConfig(width=width, height=height, bounces=bounces)
+    # ray_chunk + cull_empty_chunks: the shade path is chunk-culled
+    # (bit-identical image; all-miss chunks are pure background) —
+    # tests/test_ray_chunk.py pins image+grad equality vs unchunked
+    cfg = RenderConfig(width=width, height=height, bounces=bounces,
+                       ray_chunk=25600)
     cam = Camera.default()
     rays_per_frame = width * height * (1 + bounces)
 

@@ -31,7 +31,7 @@ def main(argv=None):
     p.add_argument("--camera", choices=["reference", "perspective"],
                    default="reference")
     p.add_argument("--backend",
-                   choices=["auto", "jnp", "pallas", "pallas_pre", "hbm"],
+                   choices=["auto", "jnp", "pallas", "hbm"],
                    default="jnp",
                    help="traversal backend (pallas/hbm = TPU megakernels)")
     p.add_argument("--platform", choices=["default", "cpu", "tpu"],

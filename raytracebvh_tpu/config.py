@@ -46,10 +46,14 @@ class RenderConfig:
         Q1/Q3 in SURVEY.md); 'perspective' = pinhole rays in world space.
       traversal_backend: 'auto' (on TPU: the fused u16 Pallas kernel below
         the 32767-leaf cap, the HBM windowed sweep above it; 'jnp'
-        elsewhere), 'jnp' (XLA while_loop), 'pallas' (fused u16 VMEM
-        kernel), 'pallas_pre' (pre-order gather kernel) or 'hbm'
-        (alias 'sweep': HBM-resident windowed rank sweep — no VMEM scene
-        ceiling, built for 100k+ leaves, see ops/traverse_hbm.py).
+        elsewhere), 'jnp' (XLA while_loop; measured 1.09 Mrays/s at
+        1080p), 'pallas' (fused u16 VMEM kernel; 157 Mrays/s in-stream
+        on coherent primaries, <= 32767 leaves) or 'hbm' (alias
+        'sweep': persistent-refill HBM rank sweep — no VMEM scene
+        ceiling; 30 Mrays/s at 102k tris, see ops/traverse_hbm.py).
+        A 'pallas_pre' pre-order gather kernel existed through round 3
+        but was never auto-selected and measured 0.02 Mrays/s at 100k
+        leaves; deleted.
       sort_backend: 'auto' (in-VMEM Pallas bitonic kernel on TPU, lax
         elsewhere), 'lax' (one fused jax.lax.sort), 'bitonic' (the
         whole-problem-in-VMEM Pallas network, ops/sort_pallas.py) or
@@ -116,6 +120,15 @@ class RenderConfig:
     # traversal_chunk this also bounds the autodiff residuals of the
     # differentiable shading path — required for megapixel fwd+bwd.
     ray_chunk: int = 0
+    # With ray_chunk > 0: traverse each chunk first and SKIP the whole
+    # shade/bounce path for chunks with no primary hit (lax.cond is a
+    # real scalar branch under lax.map).  Bit-identical images — an
+    # all-miss chunk is provably pure background (spawn intensities 0).
+    # On TPU every lane pays the lock-step shade math whether or not its
+    # ray hit anything; chunk culling is the TPU analog of GPU warps
+    # retiring early.  Measured 144 -> 27 ms at 1080p on Image_Test
+    # (sparse frame); costs one cond per chunk on dense frames.
+    cull_empty_chunks: bool = True
     dtype: str = "float32"
 
     def replace(self, **kw) -> "RenderConfig":

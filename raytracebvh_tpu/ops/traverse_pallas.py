@@ -206,442 +206,6 @@ def _traverse_kernel(
     out_ref[2:3, :] = pltpu.bitcast(hit, jnp.float32)
 
 
-def pack_tables_preorder(bvh: BVH):
-    """Build the pre-order node tables for ``traverse_pre_pallas``.
-
-    The tree is re-threaded into DFS pre-order rank space
-    (ops/bvh.preorder_ranks): descend becomes ``rank+1``, so a node needs
-    only ONE link (the skip rank).  Two channel-major tables:
-
-      box_tbl [8, box_width]:  ch 0-2 bbmin, 3-5 bbmax,
-                               ch 6 skip rank (int32 bits, -1 = done),
-                               ch 7 original node id (int32 bits; < n
-                               means leaf, and is the index into tri_tbl
-                               and the leaf id shading gathers by)
-      tri_tbl [9, tri_width]:  v0/e1/e2 xyz per ORIGINAL leaf id
-
-    vs the single fused 16-channel table this halves the bytes shuffled
-    per internal-node step (most steps) and lifts the 32767-leaf u16
-    cap — the limit is now VMEM: 8*2n + 9*n floats (~1 MB per 16k
-    leaves), ~150k leaves on a 16 MB core.
-    """
-    from .bvh import preorder_ranks
-
-    n = bvh.n_leaves
-    two_n = 2 * n
-    limit_bytes = (8 * two_n + 9 * n) * 4
-    assert limit_bytes < 13 * 2**20, (
-        f"BVH node tables need {limit_bytes/2**20:.1f} MB VMEM "
-        f"({n} leaves); the whole-BVH-in-VMEM traversal tops out around "
-        "150k leaves"
-    )
-    rank = preorder_ranks(bvh.entry_link, n)
-
-    f32 = jnp.float32
-    box_width = _round_up(two_n, LANES)
-    skip = bvh.skip_link
-    skip_rank = jnp.where(skip < 0, -1, rank[jnp.maximum(skip, 0)])
-    ids = jnp.arange(two_n, dtype=jnp.int32)
-
-    rows = [
-        bvh.bbmin[:, 0].astype(f32), bvh.bbmin[:, 1].astype(f32),
-        bvh.bbmin[:, 2].astype(f32),
-        bvh.bbmax[:, 0].astype(f32), bvh.bbmax[:, 1].astype(f32),
-        bvh.bbmax[:, 2].astype(f32),
-        jax.lax.bitcast_convert_type(skip_rank, f32),
-        jax.lax.bitcast_convert_type(ids, f32),
-    ]
-    # padding columns: empty boxes (never referenced, but harmless)
-    box_tbl = jnp.stack(
-        [
-            jnp.full(box_width, BIGBOX if r < 3 else -BIGBOX, f32)
-            if r < 6 else jnp.zeros(box_width, f32)
-            for r in range(8)
-        ]
-    )
-    # scatter node columns to their pre-order rank
-    box_tbl = box_tbl.at[:, rank].set(jnp.stack(rows))
-
-    v0 = bvh.tri_verts[:, 0].astype(f32)
-    e1 = (bvh.tri_verts[:, 1] - bvh.tri_verts[:, 0]).astype(f32)
-    e2 = (bvh.tri_verts[:, 2] - bvh.tri_verts[:, 0]).astype(f32)
-    tri_width = _round_up(n, LANES)
-    tri_tbl = jnp.zeros((9, tri_width), f32).at[:, :n].set(
-        jnp.stack(
-            [
-                v0[:, 0], v0[:, 1], v0[:, 2],
-                e1[:, 0], e1[:, 1], e1[:, 2],
-                e2[:, 0], e2[:, 1], e2[:, 2],
-            ]
-        )
-    )
-    return box_tbl, tri_tbl
-
-
-BIGBOX = 1.0e30  # empty-box padding for pre-order tables
-
-
-def _traverse_pre_kernel(
-    box_ref, tri_ref, o_ref, d_ref, out_ref, scratch,
-    *, n_leaves, box_width, tri_width, epsilon, max_steps,
-):
-    """Pre-order threaded walk: state is a pre-order RANK per lane;
-    descend = rank+1, prune/after-leaf = skip rank.  The triangle table
-    is gathered only on steps where some lane's box-hit lands on a leaf
-    (lax.cond) — early traversal steps touch only the 8-channel box
-    table."""
-    box_tbl = box_ref[:]
-    tri_tbl = tri_ref[:]
-
-    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
-    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
-    idx_ = 1.0 / dx
-    idy_ = 1.0 / dy
-    idz_ = 1.0 / dz
-
-    w = ox.shape[1]
-    root = jnp.zeros((1, w), jnp.int32)  # rank(root) = 0
-
-    def cond(state):
-        node, _, _, _, step = state
-        return jnp.logical_and(jnp.max(node) >= 0, step < max_steps)
-
-    def body(state):
-        node, hit, dist, leaf, step = state
-        live = node >= 0
-        # idle lanes follow a live representative (keeps _gather_cols'
-        # per-tile source range tight)
-        rep = jnp.min(jnp.where(live, node, jnp.int32(2 * n_leaves - 1)))
-        nid = jnp.where(live, node, rep)
-        nid = jnp.maximum(nid, 0)
-
-        row = _gather_cols(box_tbl, nid, box_width, scratch)  # [8, w]
-        bminx, bminy, bminz = row[0:1], row[1:2], row[2:3]
-        bmaxx, bmaxy, bmaxz = row[3:4], row[4:5], row[5:6]
-        skipr = pltpu.bitcast(row[6:7], jnp.int32)
-        orig = pltpu.bitcast(row[7:8], jnp.int32)
-
-        t0x = (bminx - ox) * idx_
-        t1x = (bmaxx - ox) * idx_
-        t0y = (bminy - oy) * idy_
-        t1y = (bmaxy - oy) * idy_
-        t0z = (bminz - oz) * idz_
-        t1z = (bmaxz - oz) * idz_
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z),
-        )
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
-        nonempty = bminx <= bmaxx
-        hitb = hit > 0
-        bhit = (0.0 <= tmax) & (tmin <= tmax) & nonempty
-        bhit = bhit & (jnp.logical_not(hitb) | (tmin <= dist)) & live
-
-        is_leaf = orig < n_leaves
-        at_leaf = live & is_leaf & bhit
-
-        def leaf_fn(_):
-            repl = jnp.min(jnp.where(at_leaf, orig, jnp.int32(n_leaves - 1)))
-            lid = jnp.where(at_leaf, orig, repl)
-            lid = jnp.maximum(lid, 0)
-            trow = _gather_cols(tri_tbl, lid, tri_width, scratch)  # [9, w]
-            v0x, v0y, v0z = trow[0:1], trow[1:2], trow[2:3]
-            e1x, e1y, e1z = trow[3:4], trow[4:5], trow[5:6]
-            e2x, e2y, e2z = trow[6:7], trow[7:8], trow[8:9]
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            det_ok = jnp.abs(det) >= epsilon
-            inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
-            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-            u = (tvx * px + tvy * py + tvz * pz) * inv_det
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = (
-                det_ok
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > epsilon)
-            )
-            return t, ok.astype(jnp.int32)
-
-        def no_leaf_fn(_):
-            return jnp.zeros((1, w), jnp.float32), jnp.zeros((1, w), jnp.int32)
-
-        t, tri_hit = jax.lax.cond(
-            jnp.any(at_leaf), leaf_fn, no_leaf_fn, None
-        )
-
-        upd = (
-            at_leaf & (tri_hit > 0)
-            & (jnp.logical_not(hitb) | (t < dist))
-        )
-        dist = jnp.where(upd, t, dist)
-        leaf = jnp.where(upd, orig, leaf)
-        hit = jnp.where(upd, 1, hit)
-
-        descend = bhit & jnp.logical_not(is_leaf)
-        nxt = jnp.where(descend, nid + 1, skipr)
-        node = jnp.where(live, nxt, node)
-        return node, hit, dist, leaf, step + 1
-
-    state = (
-        root,
-        jnp.zeros((1, w), jnp.int32),
-        jnp.zeros((1, w), jnp.float32),
-        jnp.zeros((1, w), jnp.int32),
-        jnp.int32(0),
-    )
-    node, hit, dist, leaf, _ = jax.lax.while_loop(cond, body, state)
-    out_ref[0:1, :] = dist
-    out_ref[1:2, :] = pltpu.bitcast(leaf, jnp.float32)
-    out_ref[2:3, :] = pltpu.bitcast(hit, jnp.float32)
-
-
-def traverse_pre_pallas(
-    bvh: BVH,
-    rays: Rays,
-    epsilon: float,
-    max_steps: int = 0,
-    block_rays: int = 1024,
-    interpret: bool | None = None,
-) -> HitRecord:
-    """Pre-order threaded traversal (see pack_tables_preorder): same
-    contract as ``traverse_pallas`` but no 32767-leaf cap and ~half the
-    gathered bytes per internal step."""
-    n = bvh.n_leaves
-    if max_steps <= 0:
-        max_steps = 4 * n
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    box_tbl, tri_tbl = pack_tables_preorder(bvh)
-    box_width = box_tbl.shape[1]
-    tri_width = tri_tbl.shape[1]
-
-    nrays = rays.origin.shape[0]
-    rpad = _round_up(nrays, block_rays)
-    origin = jnp.zeros((3, rpad), jnp.float32).at[:, :nrays].set(
-        rays.origin.astype(jnp.float32).T
-    )
-    direction = jnp.ones((3, rpad), jnp.float32).at[:, :nrays].set(
-        rays.direction.astype(jnp.float32).T
-    )
-
-    kernel = functools.partial(
-        _traverse_pre_kernel,
-        n_leaves=n,
-        box_width=box_width,
-        tri_width=tri_width,
-        epsilon=epsilon,
-        max_steps=max_steps,
-    )
-    grid = (rpad // block_rays,)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, box_width), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, tri_width), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, rpad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((9, LANES), jnp.float32)],
-        interpret=interpret,
-    )(box_tbl, tri_tbl, origin, direction)
-
-    dist = out[0, :nrays]
-    leaf = jax.lax.bitcast_convert_type(out[1, :nrays], jnp.int32)
-    hit = jax.lax.bitcast_convert_type(out[2, :nrays], jnp.int32) > 0
-    return HitRecord(hit=hit, distance=dist, leaf=leaf)
-
-
-def _traverse_any_pre_kernel(
-    box_ref, tri_ref, o_ref, d_ref, tmax_ref, out_ref, scratch,
-    *, n_leaves, box_width, tri_width, epsilon, max_steps,
-):
-    """Any-hit walk over the pre-order tables (occlusion query for
-    scenes beyond the u16 cap); per-lane early exit on first hit."""
-    box_tbl = box_ref[:]
-    tri_tbl = tri_ref[:]
-
-    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
-    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
-    ray_tmax = tmax_ref[0:1, :]
-    idx_ = 1.0 / dx
-    idy_ = 1.0 / dy
-    idz_ = 1.0 / dz
-
-    w = ox.shape[1]
-    root = jnp.zeros((1, w), jnp.int32)
-
-    def cond(state):
-        node, _, step = state
-        return jnp.logical_and(jnp.max(node) >= 0, step < max_steps)
-
-    def body(state):
-        node, occ, step = state
-        live = node >= 0
-        rep = jnp.min(jnp.where(live, node, jnp.int32(2 * n_leaves - 1)))
-        nid = jnp.where(live, node, rep)
-        nid = jnp.maximum(nid, 0)
-
-        row = _gather_cols(box_tbl, nid, box_width, scratch)
-        bminx, bminy, bminz = row[0:1], row[1:2], row[2:3]
-        bmaxx, bmaxy, bmaxz = row[3:4], row[4:5], row[5:6]
-        skipr = pltpu.bitcast(row[6:7], jnp.int32)
-        orig = pltpu.bitcast(row[7:8], jnp.int32)
-
-        t0x = (bminx - ox) * idx_
-        t1x = (bmaxx - ox) * idx_
-        t0y = (bminy - oy) * idy_
-        t1y = (bmaxy - oy) * idy_
-        t0z = (bminz - oz) * idz_
-        t1z = (bmaxz - oz) * idz_
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z),
-        )
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
-        nonempty = bminx <= bmaxx
-        bhit = (
-            (0.0 <= tmax) & (tmin <= tmax) & nonempty
-            & (tmin <= ray_tmax) & live
-        )
-
-        is_leaf = orig < n_leaves
-        at_leaf = live & is_leaf & bhit
-
-        def leaf_fn(_):
-            repl = jnp.min(jnp.where(at_leaf, orig, jnp.int32(n_leaves - 1)))
-            lid = jnp.where(at_leaf, orig, repl)
-            lid = jnp.maximum(lid, 0)
-            trow = _gather_cols(tri_tbl, lid, tri_width, scratch)
-            v0x, v0y, v0z = trow[0:1], trow[1:2], trow[2:3]
-            e1x, e1y, e1z = trow[3:4], trow[4:5], trow[5:6]
-            e2x, e2y, e2z = trow[6:7], trow[7:8], trow[8:9]
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            det_ok = jnp.abs(det) >= epsilon
-            inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
-            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-            u = (tvx * px + tvy * py + tvz * pz) * inv_det
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = (
-                det_ok
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > epsilon)
-                & (t < ray_tmax)
-            )
-            return ok.astype(jnp.int32)
-
-        tri_hit = jax.lax.cond(
-            jnp.any(at_leaf), leaf_fn,
-            lambda _: jnp.zeros((1, w), jnp.int32), None
-        )
-
-        found = at_leaf & (tri_hit > 0)
-        occ = jnp.where(found, 1, occ)
-
-        descend = bhit & jnp.logical_not(is_leaf)
-        nxt = jnp.where(descend, nid + 1, skipr)
-        node = jnp.where(live & jnp.logical_not(found), nxt, jnp.int32(-1))
-        return node, occ, step + 1
-
-    state = (root, jnp.zeros((1, w), jnp.int32), jnp.int32(0))
-    _, occ, _ = jax.lax.while_loop(cond, body, state)
-    out_ref[0:1, :] = pltpu.bitcast(occ, jnp.float32)
-
-
-def traverse_any_pre_pallas(
-    bvh: BVH,
-    rays: Rays,
-    epsilon: float,
-    max_t,
-    max_steps: int = 0,
-    block_rays: int = 1024,
-    interpret: bool | None = None,
-):
-    """Any-hit traversal over the pre-order tables (no u16 leaf cap)."""
-    n = bvh.n_leaves
-    if max_steps <= 0:
-        max_steps = 4 * n
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    box_tbl, tri_tbl = pack_tables_preorder(bvh)
-    box_width = box_tbl.shape[1]
-    tri_width = tri_tbl.shape[1]
-
-    nrays = rays.origin.shape[0]
-    rpad = _round_up(nrays, block_rays)
-    origin = jnp.zeros((3, rpad), jnp.float32).at[:, :nrays].set(
-        rays.origin.astype(jnp.float32).T
-    )
-    direction = jnp.ones((3, rpad), jnp.float32).at[:, :nrays].set(
-        rays.direction.astype(jnp.float32).T
-    )
-    tmax = jnp.full((1, rpad), -1.0, jnp.float32).at[0, :nrays].set(
-        jnp.asarray(max_t, jnp.float32)
-    )
-
-    kernel = functools.partial(
-        _traverse_any_pre_kernel,
-        n_leaves=n,
-        box_width=box_width,
-        tri_width=tri_width,
-        epsilon=epsilon,
-        max_steps=max_steps,
-    )
-    grid = (rpad // block_rays,)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, box_width), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, tri_width), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((1, rpad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((9, LANES), jnp.float32)],
-        interpret=interpret,
-    )(box_tbl, tri_tbl, origin, direction, tmax)
-
-    return jax.lax.bitcast_convert_type(out[0, :nrays], jnp.int32) > 0
-
-
 def _traverse_any_kernel(
     node_ref, o_ref, d_ref, tmax_ref, out_ref, scratch,
     *, n_leaves, node_width, epsilon, max_steps,

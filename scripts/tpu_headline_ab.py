@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Does the (now ~free) structured tile order help the headline config?
+"""Texture table dtype A/B on the headline config (u8 = UNORM8, the
+reference's own DevIL texture format — bit-exact for 8-bit sources).
 
 fwd and fwd+bwd at 1080p on Image_Test.obj with ray_tile 0 vs 16.
 Run: python scripts/tpu_headline_tile.py
@@ -38,9 +39,9 @@ def main():
     target = jnp.zeros((height, width, 4), jnp.float32)
     params = init_params(scene)
 
-    for tile in (0, 16):
+    for name, kw in (("f32", {}), ("u8", {"texture_dtype": "uint8"})):
         cfg = RenderConfig(width=width, height=height, bounces=bounces,
-                           ray_tile=tile)
+                           **kw)
         fwd = jax.jit(lambda s, c, cfg=cfg: render_frame(s, c, cfg))
         t_fwd = timed(fwd, scene, cam)
         grad_fn = jax.jit(jax.value_and_grad(
@@ -49,7 +50,7 @@ def main():
         cfg_sh = cfg.replace(bounces=0, enable_shadows=True)
         fwd_sh = jax.jit(lambda s, c, cfg=cfg_sh: render_frame(s, c, cfg))
         t_sh = timed(fwd_sh, scene, cam)
-        print(f"tile={tile:2d}: fwd {t_fwd*1e3:7.1f} ms "
+        print(f"{name:>4s}: fwd {t_fwd*1e3:7.1f} ms "
               f"({rays/t_fwd/1e6:5.2f} Mr/s)  fwd+bwd {t_gb*1e3:7.1f} ms "
               f"({rays/t_gb/1e6:5.2f} Mr/s)  shadows {t_sh*1e3:7.1f} ms",
               flush=True)

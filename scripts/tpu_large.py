@@ -148,10 +148,3 @@ np.testing.assert_allclose(
     rtol=2e-5, atol=2e-5)
 print("  parity: distances allclose", flush=True)
 
-# pre-order gather kernel on a small subset (known-collapsed at this size)
-if "--pre" in sys.argv:
-    from raytracebvh_tpu.ops.traverse_pallas import traverse_pre_pallas
-    sub50k = jax.tree_util.tree_map(lambda x: x[:51200], rays)
-    f_pre = jax.jit(lambda b, r: traverse_pre_pallas(b, r, cfg.epsilon))
-    _, t_pre = timed("pre-order gather (50k rays)", f_pre, bvh, sub50k, iters=1)
-    print(f"  -> {51200/t_pre/1e6:.3f} Mrays/s (pre-order)", flush=True)

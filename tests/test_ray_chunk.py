@@ -36,3 +36,36 @@ def test_ray_chunk_grads_match():
     g1 = grads(base.replace(ray_chunk=64))
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_cull_empty_chunks_identical():
+    """Chunk culling must be invisible: same image and same grads as the
+    unculled chunked path and the unchunked path, on a scene where many
+    chunks are all-miss."""
+    import jax.numpy as jnp
+
+    scene = scene_to_device(random_triangles(60, seed=11, with_texture=True))
+    cam = Camera.default()
+    # small ortho_scale -> geometry covers a small part of the frame
+    base = RenderConfig(width=32, height=32, bounces=2, ortho_scale=0.05,
+                        enable_shadows=True)
+    a = np.asarray(render_frame_jit(scene, cam, base))
+    b = np.asarray(render_frame_jit(
+        scene, cam, base.replace(ray_chunk=128, cull_empty_chunks=True)))
+    c = np.asarray(render_frame_jit(
+        scene, cam, base.replace(ray_chunk=128, cull_empty_chunks=False)))
+    np.testing.assert_array_equal(b, c)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+    params = init_params(scene)
+    target = np.zeros((32, 32, 4), np.float32)
+
+    def grads(cfg):
+        g = jax.grad(lambda p: loss_fn(p, scene, cam, target, cfg))(params)
+        return jax.tree_util.tree_map(np.asarray, g)
+
+    g0 = grads(base.replace(ray_chunk=128, cull_empty_chunks=False))
+    g1 = grads(base.replace(ray_chunk=128, cull_empty_chunks=True))
+    for x, y in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-8)

@@ -124,15 +124,3 @@ def test_shadow_grads_flow():
     g = jax.jit(jax.grad(loss))(scene.materials.diffuse)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
-
-
-def test_any_hit_preorder_pallas_parity():
-    """Pre-order any-hit kernel (interpret mode) == XLA any-hit."""
-    from raytracebvh_tpu.ops.traverse_pallas import traverse_any_pre_pallas
-
-    bvh, rays, max_t = _any_hit_setup(n_tris=200, n_rays=300, seed=9)
-    occ_jnp = jax.jit(lambda b, r, m: traverse_any(b, r, 0.01, m))(
-        bvh, rays, max_t
-    )
-    occ_pl = traverse_any_pre_pallas(bvh, rays, 0.01, max_t, block_rays=256)
-    np.testing.assert_array_equal(np.asarray(occ_jnp), np.asarray(occ_pl))

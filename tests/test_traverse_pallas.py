@@ -83,26 +83,6 @@ def test_pallas_pipeline_backend():
     np.testing.assert_allclose(img_pl, img_jnp, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("num_tris,seed,nrays", [(60, 3, 384), (700, 4, 512)])
-def test_preorder_pallas_matches_xla(num_tris, seed, nrays):
-    """Pre-order threaded kernel (no 32767-leaf cap) == XLA traversal."""
-    from raytracebvh_tpu.ops.traverse_pallas import traverse_pre_pallas
-
-    bvh = _build(num_tris, seed)
-    rays = _random_rays(nrays, seed + 50)
-    ref = traverse(bvh, rays, epsilon=0.01)
-    got = traverse_pre_pallas(bvh, rays, epsilon=0.01, interpret=True,
-                              block_rays=256)
-    ref_hit = np.asarray(ref.hit)
-    np.testing.assert_array_equal(np.asarray(got.hit), ref_hit)
-    np.testing.assert_array_equal(
-        np.asarray(got.leaf)[ref_hit], np.asarray(ref.leaf)[ref_hit]
-    )
-    np.testing.assert_allclose(
-        np.asarray(got.distance), np.asarray(ref.distance), rtol=1e-6
-    )
-
-
 def test_preorder_tables_large_tree():
     """Table invariants beyond the old u16 cap (48k leaves): interpret-
     mode execution at that size is infeasible, so validate the pre-order
