@@ -225,7 +225,12 @@ def main():
 
         # full fwd frame at 1080p on the large scene (auto backends:
         # hbm traversal + XLA shade gather via the size guard)
-        cfg_l = cfg.replace(bounces=0, ray_tile=16)
+        # fwd: the default unchunked config (26% of rays hit — chunk
+        # culling buys nothing and the per-chunk refill-kernel calls
+        # underfill their slots: measured 197 ms unchunked vs 219
+        # chunked); fwd+bwd keeps the chunked path (336 vs 444 ms — the
+        # per-chunk backward wins on residual locality)
+        cfg_l = cfg.replace(bounces=0, ray_tile=16, ray_chunk=0)
         fwd_l = jax.jit(lambda s, c: render_frame(s, c, cfg_l))
         t_fl = timed(fwd_l, scene_l, cam, warmup=1, iters=3)
         large["fwd_ms"] = t_fl * 1e3
@@ -240,8 +245,9 @@ def main():
         # test_hbm_backend_grads_match.
         params_l = init_params(scene_l)
         target_l = jnp.zeros((height, width, 4), jnp.float32)
+        cfg_lb = cfg_l.replace(ray_chunk=25600)
         grad_l = jax.jit(jax.value_and_grad(
-            lambda p: loss_fn(p, scene_l, cam, target_l, cfg_l)))
+            lambda p: loss_fn(p, scene_l, cam, target_l, cfg_lb)))
         t_gl = timed(grad_l, params_l, warmup=1, iters=3)
         _, g_l = grad_l(params_l)
         g_finite = bool(np.isfinite(np.asarray(g_l.vert_offsets)).all())
@@ -276,38 +282,63 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# multihost prediction failed: {e}", file=sys.stderr)
 
-    # ---- roofline accounting for the headline step
+    # ---- roofline: a PROVEN lower bound on the headline step (r3
+    # verdict item 6: the XLA cost model's byte estimate both
+    # overcounts Pallas operands — once per grid step — and, since the
+    # chunk-cull rework, undercounts the branchy shade work, so its
+    # "light" could land on either side of the measurement.  Instead,
+    # enumerate traffic the step provably cannot avoid; the resulting
+    # bound satisfies pct_of_light <= 100 BY CONSTRUCTION.)
+    def _nb(*arrays):
+        return float(sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                         for x in arrays))
+
+    n_pad = ((scene.num_faces + 255) // 256) * 256
+    mandatory = {
+        # scene geometry + materials + textures read at least once
+        "scene_read": _nb(scene.verts, scene.normals, scene.uv,
+                          scene.indices, scene.mat_index, scene.textures)
+        + _nb(*jax.tree_util.tree_leaves(scene.materials)),
+        # the per-frame build materializes node + leaf-attr tables
+        # (written once, read at least once by traversal/shade)
+        "node_tables_rw": 2.0 * (2 * n_pad * (6 + 2) * 4
+                                 + n_pad * 40 * 4),
+        # gradient outputs
+        "grads_out": _nb(*jax.tree_util.tree_leaves(params)),
+        # per-ray hit records cross the traversal/shade boundary once
+        "hit_records": float(rays_per_frame * 3 * 4),
+    }
+    min_bytes = sum(mandatory.values())
+    t_light = min_bytes / HBM_BW
+    detail["roofline"] = {
+        "model": "provable-lower-bound",
+        "mandatory_bytes": mandatory,
+        "min_bytes": min_bytes,
+        "t_light_ms": t_light * 1e3,
+        "pct_of_light": 100.0 * t_light / t_step,  # <= 100 by construction
+        "note": ("t_light = bytes the fwd+bwd step provably must move "
+                 "through HBM / 810 GB/s.  The step is NOT HBM-bound — "
+                 "the gap is in-VMEM lock-step traversal + shade vector "
+                 "work; the large_scene.traverse_pct_of_light field "
+                 "bounds that portion against a measured micro-step "
+                 "count instead."),
+    }
+    # XLA's estimate, clearly labeled as an estimate (not a bound)
     try:
-        compiled = grad_fn.lower(params).compile()
-        flops, hbm_bytes = _cost(compiled)
+        flops, hbm_est = _cost(grad_fn.lower(params).compile())
+        detail["roofline"]["xla_cost_model"] = {
+            "flops": flops, "bytes_accessed_estimate": hbm_est}
     except Exception:
-        flops, hbm_bytes = 0.0, 0.0
-    if hbm_bytes > 0:
-        t_mem = hbm_bytes / HBM_BW
-        t_cmp = flops / VPU_F32
-        t_light = max(t_mem, t_cmp)
-        bound = "HBM" if t_mem >= t_cmp else "VPU"
-        detail["roofline"] = {
-            "hbm_bytes": hbm_bytes,
-            "flops": flops,
-            "bytes_per_ray": hbm_bytes / rays_per_frame,
-            "t_hbm_ms": t_mem * 1e3,
-            "t_vpu_ms": t_cmp * 1e3,
-            "bound": bound,
-            "pct_of_light": 100.0 * t_light / t_step,
-        }
-        # NB: XLA's bytes estimate counts every pallas_call operand once
-        # per grid step, so whole-BVH-in-VMEM tables are massively
-        # overcounted; treat the HBM bound as an upper bound on traffic,
-        # not a tight light-speed claim.
-        print(
-            f"# roofline (XLA cost model): {hbm_bytes/1e9:.2f} GB upper-"
-            f"bound HBM ({hbm_bytes/rays_per_frame:.0f} B/ray), "
-            f"{flops/1e9:.1f} GFLOP -> nominal light {t_light*1e3:.1f} ms "
-            f"({bound}-bound); measured {t_step*1e3:.1f} ms. In-VMEM "
-            f"shuffle work (the traversal walk) is outside this model.",
-            file=sys.stderr,
-        )
+        pass
+    print(
+        f"# roofline (provable lower bound): {min_bytes/1e9:.3f} GB "
+        f"mandatory HBM -> {t_light*1e3:.2f} ms light; measured "
+        f"{t_step*1e3:.1f} ms = {100.0*t_light/t_step:.1f}% of light "
+        f"(the gap is in-VMEM traversal/shade vector work, bounded "
+        f"separately by the large-scene micro-step counter at "
+        f"{large.get('traverse_pct_of_light', 0):.0f}%).",
+        file=sys.stderr,
+    )
 
     with open(os.path.join(os.path.dirname(__file__) or ".",
                            "BENCH_DETAIL.json"), "w") as f:

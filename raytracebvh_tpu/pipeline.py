@@ -101,6 +101,13 @@ def assemble_bvh(scene: Scene, verts_t, normals_t, codes, lmin, lmax,
     # worst tiling path (26.5 ms vs sub-ms; see ops/morton).  So every
     # permutation below packs its columns into one >=4-wide row table,
     # gathers rows once, and slices 1-D columns back out.
+    # face ids ride the packed row as floats; exact only while n fits the
+    # mantissa (f32: 2^24).  cfg.dtype is an unvalidated string, so guard
+    # against a silent bfloat16/float16 id corruption above 256/2048.
+    assert n < (1 << jnp.finfo(dtype).nmant), (
+        f"dtype {cfg.dtype} cannot represent {n} face ids exactly in the "
+        "packed leaf-row gather; use float32/float64 or shrink the scene"
+    )
     lrows = jnp.stack(
         [prim.astype(dtype)] + [lmin[:, k] for k in range(3)]
         + [lmax[:, k] for k in range(3)] + [jnp.zeros(n, dtype)], -1
