@@ -97,6 +97,48 @@ def test_grad_step_finite_on_device():
     assert sum(float(np.abs(np.asarray(g)).sum()) for g in leaves) > 0
 
 
+@requires_tpu
+def test_hbm_refill_parity_on_device():
+    """The persistent-refill HBM sweep (the >32k-leaf backend) == XLA
+    while_loop traversal, Mosaic-compiled, above the u16 kernel's cap."""
+    from raytracebvh_tpu.ops.traverse import traverse
+    from raytracebvh_tpu.ops.traverse_hbm import traverse_hbm_pallas
+
+    scene, cfg, cam, bvh, rays = _setup(n_tris=40000, width=256, height=192)
+    assert bvh.n_leaves > 32767  # really the hbm regime
+    rec_h = jax.jit(lambda b, r: traverse_hbm_pallas(b, r, cfg.epsilon))(
+        bvh, rays)
+    sub = jax.tree_util.tree_map(lambda x: x[::17][:2048], rays)
+    rec_x = jax.jit(lambda b, r: traverse(b, r, cfg.epsilon))(bvh, sub)
+    rec_s = jax.tree_util.tree_map(lambda x: x[::17][:2048], rec_h)
+    hx = np.asarray(rec_x.hit)
+    np.testing.assert_array_equal(np.asarray(rec_s.hit), hx)
+    np.testing.assert_array_equal(
+        np.asarray(rec_s.leaf)[hx], np.asarray(rec_x.leaf)[hx])
+    np.testing.assert_allclose(
+        np.asarray(rec_s.distance)[hx], np.asarray(rec_x.distance)[hx],
+        rtol=2e-5, atol=2e-5)
+
+
+@requires_tpu
+def test_hbm_any_refill_parity_on_device():
+    from raytracebvh_tpu.ops.traverse import traverse_any
+    from raytracebvh_tpu.ops.traverse_hbm import traverse_any_hbm_pallas
+
+    scene, cfg, cam, bvh, rays = _setup(n_tris=40000, width=128, height=96)
+    rng = np.random.default_rng(1)
+    max_t = jnp.asarray(rng.uniform(5.0, 300.0, rays.origin.shape[0]),
+                        jnp.float32)
+    occ_h = jax.jit(
+        lambda b, r, m: traverse_any_hbm_pallas(b, r, cfg.epsilon, m)
+    )(bvh, rays, max_t)
+    sub = jax.tree_util.tree_map(lambda x: x[::13][:512], rays)
+    occ_x = jax.jit(lambda b, r, m: traverse_any(b, r, cfg.epsilon, m))(
+        bvh, sub, max_t[::13][:512])
+    np.testing.assert_array_equal(
+        np.asarray(occ_h)[::13][:512], np.asarray(occ_x))
+
+
 if __name__ == "__main__":
     # direct runner (bypasses conftest's CPU pin)
     if jax.default_backend() != "tpu":
@@ -108,3 +150,7 @@ if __name__ == "__main__":
         print("any-hit parity ok")
         test_grad_step_finite_on_device()
         print("grad step ok")
+        test_hbm_refill_parity_on_device()
+        print("hbm refill parity ok")
+        test_hbm_any_refill_parity_on_device()
+        print("hbm any-hit refill parity ok")
