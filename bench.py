@@ -225,11 +225,10 @@ def main():
 
         # full fwd frame at 1080p on the large scene (auto backends:
         # hbm traversal + XLA shade gather via the size guard)
-        # fwd: the default unchunked config (26% of rays hit — chunk
-        # culling buys nothing and the per-chunk refill-kernel calls
-        # underfill their slots: measured 197 ms unchunked vs 219
-        # chunked); fwd+bwd keeps the chunked path (336 vs 444 ms — the
-        # per-chunk backward wins on residual locality)
+        # the default unchunked config: 26% of rays hit, so chunk
+        # culling buys nothing and per-chunk kernel calls underfill the
+        # refill slots (fwd 197 ms unchunked vs 219 chunked; fwd+bwd
+        # 251 vs 307-365 across chunk sizes — tpu_large_chunksweep.py)
         cfg_l = cfg.replace(bounces=0, ray_tile=16, ray_chunk=0)
         fwd_l = jax.jit(lambda s, c: render_frame(s, c, cfg_l))
         t_fl = timed(fwd_l, scene_l, cam, warmup=1, iters=3)
@@ -245,9 +244,8 @@ def main():
         # test_hbm_backend_grads_match.
         params_l = init_params(scene_l)
         target_l = jnp.zeros((height, width, 4), jnp.float32)
-        cfg_lb = cfg_l.replace(ray_chunk=25600)
         grad_l = jax.jit(jax.value_and_grad(
-            lambda p: loss_fn(p, scene_l, cam, target_l, cfg_lb)))
+            lambda p: loss_fn(p, scene_l, cam, target_l, cfg_l)))
         t_gl = timed(grad_l, params_l, warmup=1, iters=3)
         _, g_l = grad_l(params_l)
         g_finite = bool(np.isfinite(np.asarray(g_l.vert_offsets)).all())

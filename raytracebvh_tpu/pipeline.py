@@ -347,6 +347,9 @@ def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord,
         a = lambda k: A[k]
     else:
         Arow = bvh.leaf_attrs[leaf]  # [R, 40] — the one XLA gather
+        # (a transpose to channel-major before slicing was measured
+        # SLOWER end-to-end at 102k tris: 197 -> 215 ms; XLA fuses the
+        # column slices into their consumers fine)
         a = lambda k: Arow[:, k]
     t0 = (a(0), a(1), a(2))
     t1 = (a(3), a(4), a(5))
