@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--orbit-yaw", type=float, default=0.1,
                    help="per-frame yaw (reference arrow keys step .1 rad)")
     p.add_argument("--chunk", type=int, default=0, help="traversal chunk size")
+    p.add_argument("--ray-chunk", type=int, default=-1,
+                   help="shade-pipeline chunk size (enables chunk-level "
+                        "empty culling; -1 = auto: ~25k rays when it "
+                        "divides the frame, else 0)")
     p.add_argument("--camera", choices=["reference", "perspective"],
                    default="reference")
     p.add_argument("--backend",
@@ -77,10 +81,23 @@ def main(argv=None):
         print(f"error: cannot find {args.obj}", file=sys.stderr)
         return 1
     scene = scene_to_device(load_obj(path))
+    ray_chunk = args.ray_chunk
+    if ray_chunk < 0:
+        # auto: the largest divisor of the frame <= 32768 that keeps at
+        # least 4 chunks (chunk culling needs granularity to win)
+        r = args.width * args.height
+        ray_chunk = 0
+        for c in range(min(32768, r // 4), 0, -1):
+            if r % c == 0:
+                ray_chunk = c
+                break
+        if ray_chunk < 1024:  # too fine to be worth the scan
+            ray_chunk = 0
     cfg = RenderConfig(
         width=args.width,
         height=args.height,
         bounces=args.bounces,
+        ray_chunk=ray_chunk,
         traversal_chunk=args.chunk,
         camera_mode=args.camera,
         traversal_backend=args.backend,

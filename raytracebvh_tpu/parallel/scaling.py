@@ -159,11 +159,15 @@ def weak_scaling_sweep(
 
         def timeit(chunks):
             jax.block_until_ready(step(chunks))  # compile + warm
-            t0 = time.perf_counter()
+            # min over repetitions: the step is overhead-dominated on a
+            # virtual mesh and per-run jitter exceeds the d-dependence;
+            # the minimum approximates the dispatch floor
+            best = float("inf")
             for _ in range(iters):
-                out = step(chunks)
-            jax.block_until_ready(out)
-            return (time.perf_counter() - t0) / iters
+                t0 = time.perf_counter()
+                jax.block_until_ready(step(chunks))
+                best = min(best, time.perf_counter() - t0)
+            return best
 
         dt = timeit(1)
         # overlapped-collective schedule (per-chunk psum inside lax.scan;
@@ -191,13 +195,27 @@ def weak_scaling_sweep(
 
 
 def write_scaling_report(records, path: str = "SCALING.json") -> None:
+    import os
+
     backend = jax.default_backend()
+    ncores = os.cpu_count()
+    ndev = jax.device_count()
     report = {
         "backend": backend,
+        "host_cores": ncores,
+        "devices": ndev,
         "note": (
             "weak scaling: per-device work constant; efficiency = "
-            "t(1)/t(d). Virtual CPU meshes exercise the harness and "
-            "collective paths, not ICI bandwidth — rerun on a pod slice "
+            "t(1)/t(d).  On a virtual CPU mesh the step is dominated by "
+            "fixed per-dispatch overhead (identical code measured "
+            "0.73-1.12 at d=8 across runs, round 4), and with "
+            f"{ndev} devices sharing {ncores} host cores a "
+            "compute-dominated step would read ~cores/devices by "
+            "construction — so this sweep validates the sharded "
+            "program and collective paths, not interconnect scaling.  "
+            "The quantitative multi-host claim is the analytic ICI/DCN "
+            "model (predict_multihost_efficiency, reported by bench.py "
+            "as multihost_prediction); rerun this sweep on a pod slice "
             "for hardware numbers."
         ),
         "records": records,
