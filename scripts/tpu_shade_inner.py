@@ -1,5 +1,11 @@
-"""Sub-breakdown of _shade_hit_soa's ~48 ms at 1080p (tpu_shade_stages
-found the non-gather shade math dominating the frame).
+"""Sub-breakdown of _shade_hit_soa at 1080p.
+
+CAVEAT (round 4): the "+ texture sample" stage here feeds the sampler
+UNPINNED uv — miss lanes carry garbage barycentric uv and random-walk
+the ~100 MB quad table, inflating that stage to ~50 ms.  The PIPELINE
+pins miss-lane uv to texel 0 (_shade_hit_soa), where the same gather
+measures ~8 ms (scripts/tpu_tex_variants.py).  Treat the tex number as
+the un-pinned worst case, not the shipping cost.
 
 Run: python scripts/tpu_shade_inner.py
 """
