@@ -416,11 +416,41 @@ def _make_refill_kernel(any_hit, T, *, n_leaves, ntiles, wb, win, s,
             jnp.int32(min(T, ntiles)),  # next block to hand out
             jnp.int32(0),  # global iteration counter
         )
-        jax.lax.while_loop(cond, body, state)
+        state = jax.lax.while_loop(cond, body, state)
+        (f_nodes, f_hits, f_dists, f_leafs, _, _, f_blks, f_stepc,
+         f_pos, _, _) = state
 
-        # drain: every slot that ran has exactly one out-DMA in flight
-        for t in range(min(T, ntiles)):
-            odma(t, 0).wait()
+        # drain.  Normal exit: every slot retired (blk = -1) with one
+        # out-DMA in flight.  Backstop exit (it hit max_iters): a slot
+        # may still hold an unfinished block — write its best-so-far
+        # results (graceful, like the r3 kernel's per-tile step bound)
+        # so the output region is never uninitialized HBM, and so the
+        # final wait below has a matching DMA to consume.
+        for t in range(T):
+            interrupted = f_blks[t] >= 0
+
+            @pl.when(interrupted)
+            def _(t=t, blk=f_blks[t], po=f_pos[t], dist=f_dists[t],
+                  leaf=f_leafs[t], hit=f_hits[t], st=f_stepc[t]):
+                @pl.when(po > 0)
+                def _():
+                    odma(t, 0).wait()
+
+                if any_hit:
+                    obuf[t, 0] = pltpu.bitcast(hit, jnp.float32)
+                    obuf[t, 1] = jnp.zeros((s, LANES), jnp.float32)
+                    obuf[t, 2] = jnp.zeros((s, LANES), jnp.float32)
+                else:
+                    obuf[t, 0] = dist
+                    obuf[t, 1] = pltpu.bitcast(leaf, jnp.float32)
+                    obuf[t, 2] = pltpu.bitcast(hit, jnp.float32)
+                obuf[t, 3] = pltpu.bitcast(
+                    jnp.full((s, LANES), st, jnp.int32), jnp.float32)
+                odma(t, blk).start()
+
+            @pl.when(interrupted | (f_pos[t] > 0))
+            def _(t=t):
+                odma(t, 0).wait()
 
     return kernel
 

@@ -104,7 +104,7 @@ def assemble_bvh(scene: Scene, verts_t, normals_t, codes, lmin, lmax,
     # face ids ride the packed row as floats; exact only while n fits the
     # mantissa (f32: 2^24).  cfg.dtype is an unvalidated string, so guard
     # against a silent bfloat16/float16 id corruption above 256/2048.
-    assert n < (1 << jnp.finfo(dtype).nmant), (
+    assert n - 1 < (1 << (jnp.finfo(dtype).nmant + 1)), (
         f"dtype {cfg.dtype} cannot represent {n} face ids exactly in the "
         "packed leaf-row gather; use float32/float64 or shrink the scene"
     )
@@ -203,6 +203,14 @@ def resolve_traversal_backend(cfg: RenderConfig, n_leaves: int) -> str:
         backend = "hbm"
     if backend == "sweep":  # alias
         backend = "hbm"
+    if backend not in ("jnp", "pallas", "hbm"):
+        # fail loudly: an unknown string would otherwise silently take
+        # the ~30x-slower XLA walk (e.g. round-3 configs carrying the
+        # deleted 'pallas_pre')
+        raise ValueError(
+            f"unknown traversal_backend {cfg.traversal_backend!r}; "
+            "expected auto, jnp, pallas, hbm or sweep"
+        )
     return backend
 
 
@@ -675,24 +683,33 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
     return color.reshape(cfg.height, cfg.width, 4)
 
 
-def _shade_rays_one(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig,
-                    light3=None, rec=None):
-    """launch + bounce chain (+ refraction) for one batch of rays.
-
-    Internally pure structure-of-arrays; the only [R, 4] array is the
-    final stacked color.  Shadow rays (``light3`` + cfg.enable_shadows)
-    apply to primary hits; bounce passes keep the reference's unshadowed
-    lerp chain."""
-    o3, d3 = _split_rays(rays)
-    # one quad table per frame, shared by every pass (see
-    # ops/shade.pack_texture_quads; a precomputed morton-swizzled table
-    # was tried in round 3 and measured slower end-to-end — see
-    # sample_texture_quads)
+def _frame_tex_quads(scene: Scene, cfg: RenderConfig):
+    """One quad table per frame, shared by every pass and every ray
+    chunk (see ops/shade.pack_texture_quads; a precomputed
+    morton-swizzled table was tried in round 3 and measured slower
+    end-to-end — see sample_texture_quads)."""
     tex_quads = shade_ops.pack_texture_quads(scene.textures, scene.tex_hw)
     if cfg.texture_dtype == "uint8":
         tex_quads = shade_ops.quantize_quads_u8(
             jax.lax.stop_gradient(tex_quads)
         )
+    return tex_quads
+
+
+def _shade_rays_one(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig,
+                    light3=None, rec=None, tex_quads=None):
+    """launch + bounce chain (+ refraction) for one batch of rays.
+
+    Internally pure structure-of-arrays; the only [R, 4] array is the
+    final stacked color.  Shadow rays (``light3`` + cfg.enable_shadows)
+    apply to primary hits; bounce passes keep the reference's unshadowed
+    lerp chain.  Pass ``tex_quads`` when calling per ray chunk — packed
+    inside a lax.map body the full table (~100 MB on Image_Test) would
+    be rebuilt per surviving chunk (XLA cannot hoist it out of the cull
+    cond branch)."""
+    o3, d3 = _split_rays(rays)
+    if tex_quads is None:
+        tex_quads = _frame_tex_quads(scene, cfg)
     color, refl, intensity, refr, refr_int = _launch_soa(
         scene, bvh, o3, d3, cfg, tex_quads, light3, rec
     )
@@ -759,6 +776,7 @@ def shade_rays(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig,
             ),
             rays,
         )
+        tex_quads = _frame_tex_quads(scene, cfg)
         if cfg.cull_empty_chunks:
             # Chunk-level empty culling: the whole shade/bounce path of
             # an all-miss chunk is provably pure background (spawns
@@ -771,7 +789,13 @@ def shade_rays(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig,
             # This is the TPU analog of what the reference gets from
             # per-warp divergence on the GPU (Graphics.cpp:788-792
             # dispatches everything; idle warps retire early).
+            # bg must match the shade branch's dtype exactly (lax.cond
+            # requires equal branch avals): shading promotes cfg.dtype
+            # by the texture table's dtype (float32 textures lift a
+            # bfloat16 pipeline's color to f32)
             dt = jnp.dtype(cfg.dtype)
+            if tex_quads.dtype != jnp.uint8:  # u8 samples cast to uv dtype
+                dt = jnp.result_type(dt, tex_quads.dtype)
             bg = jnp.broadcast_to(
                 jnp.asarray(cfg.background, dt), (cfg.ray_chunk, 4))
 
@@ -780,14 +804,15 @@ def shade_rays(scene: Scene, bvh: BVH, rays: Rays, cfg: RenderConfig,
                 return jax.lax.cond(
                     jnp.any(rec.hit),
                     lambda: _shade_rays_one(
-                        scene, bvh, r, cfg, light3, rec),
+                        scene, bvh, r, cfg, light3, rec, tex_quads),
                     lambda: bg,
                 )
 
             color = jax.lax.map(one, tiles)
         else:
             color = jax.lax.map(
-                lambda r: _shade_rays_one(scene, bvh, r, cfg, light3),
+                lambda r: _shade_rays_one(
+                    scene, bvh, r, cfg, light3, None, tex_quads),
                 tiles,
             )
         return color.reshape(nrays, 4)

@@ -69,3 +69,24 @@ def test_cull_empty_chunks_identical():
     for x, y in zip(jax.tree_util.tree_leaves(g0),
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-8)
+
+
+def test_cull_bfloat16_branch_dtypes():
+    """lax.cond branches must agree on dtype when the pipeline dtype is
+    lower-precision than the (float32) texture table."""
+    scene = scene_to_device(random_triangles(40, seed=12, with_texture=True))
+    cam = Camera.default()
+    cfg = RenderConfig(width=16, height=16, bounces=1, ortho_scale=0.1,
+                       ray_chunk=64, dtype="bfloat16")
+    img = np.asarray(render_frame_jit(scene, cam, cfg))
+    assert np.isfinite(img.astype(np.float32)).all()
+
+
+def test_unknown_traversal_backend_raises():
+    import pytest
+
+    from raytracebvh_tpu.pipeline import resolve_traversal_backend
+
+    cfg = RenderConfig(width=8, height=8, traversal_backend="pallas_pre")
+    with pytest.raises(ValueError, match="unknown traversal_backend"):
+        resolve_traversal_backend(cfg, 100)

@@ -133,3 +133,15 @@ def test_hbm_backend_grads_match():
     for a, b in zip(jax.tree_util.tree_leaves(g_jnp),
                     jax.tree_util.tree_leaves(g_hbm)):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_hbm_backstop_returns_without_hang():
+    """A tiny max_steps trips the refill kernel's iteration backstop:
+    the kernel must still terminate (all out-DMAs matched) and return
+    well-formed (possibly incomplete) hit records."""
+    bvh = _build(120, seed=7)
+    rays = _random_rays(256, 77)
+    rec = traverse_hbm_pallas(bvh, rays, 0.01, max_steps=1,
+                              block_rays=256, win=256, interpret=True)
+    assert rec.hit.shape == (256,)
+    assert np.asarray(rec.distance).shape == (256,)
