@@ -1,5 +1,12 @@
 """In-stream breakdown of the 1080p headline frame's shading path.
 
+CAVEAT (round 4): the standalone "tex sample" digest feeds the sampler
+synthetic uv over the full frame; the shipping pipeline pins miss-lane
+uv to texel 0, where the same gather costs ~8 ms (tpu_tex_variants.py).
+Stage deltas between separately-jitted digests are also only
+directional — XLA optimizes each digest globally (DCE differs), so
+cross-check any conclusion with a dedicated A/B.
+
 Same marginal-scan method as tpu_build_stages.py: K iterations of a
 frame PREFIX inside one jitted scan; consecutive prefixes differ by one
 stage.  Targets: where do the ~90 ms of non-traversal forward time go
