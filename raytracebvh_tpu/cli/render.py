@@ -30,14 +30,17 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=0, help="traversal chunk size")
     p.add_argument("--ray-chunk", type=int, default=-1,
                    help="shade-pipeline chunk size (enables chunk-level "
-                        "empty culling; -1 = auto: ~25k rays when it "
-                        "divides the frame, else 0)")
+                        "empty culling; -1 = auto: the largest frame "
+                        "divisor <= 32768 keeping >= 4 chunks, else 0)")
     p.add_argument("--camera", choices=["reference", "perspective"],
                    default="reference")
     p.add_argument("--backend",
                    choices=["auto", "jnp", "pallas", "hbm"],
-                   default="jnp",
-                   help="traversal backend (pallas/hbm = TPU megakernels)")
+                   default="auto",
+                   help="traversal backend (default auto: the TPU "
+                        "megakernels on a chip — pallas below the 32k-leaf "
+                        "cap, the hbm sweep above — and the XLA walk "
+                        "elsewhere)")
     p.add_argument("--platform", choices=["default", "cpu", "tpu"],
                    default="default",
                    help="force the JAX platform (cpu = run the whole "

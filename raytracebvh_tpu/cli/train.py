@@ -107,7 +107,7 @@ def main(argv=None):
     loss = None
     for step in range(step0, args.steps):
         params, opt_state, loss = train_step(
-            params, opt_state, scene, cam, target, cfg
+            params, opt_state, scene, cam, target, cfg, args.lr
         )
         if (step + 1) % args.log_every == 0:
             print(f"step {step + 1}/{args.steps}  loss {float(loss):.6e}")

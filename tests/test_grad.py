@@ -104,3 +104,33 @@ def test_grad_normals_and_camera():
         )(cam.eye.astype(jnp.float64))
         assert np.isfinite(np.asarray(g_eye)).all()
         assert np.abs(np.asarray(g_eye)).max() > 0
+
+
+def test_train_step_lr_takes_effect():
+    """--lr must actually change the step (round-4 verdict: train_step
+    rebuilt the optimizer with the default lr inside jit, silently
+    ignoring the CLI flag — adam's init is lr-independent, so only the
+    update reveals the bug)."""
+    from raytracebvh_tpu.models.inverse import (
+        init_params,
+        make_optimizer,
+        train_step,
+    )
+
+    scene_h = random_triangles(
+        12, seed=3, extent=8.0, tri_size=2.0, with_texture=True
+    )
+    scene = scene_to_device(scene_h)
+    cam = Camera.default()
+    cfg = RenderConfig(width=16, height=16, bounces=0)
+    target = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+
+    params = init_params(scene)
+    opt_state = make_optimizer(1e-2).init(params)
+    p_a, _, _ = train_step(params, opt_state, scene, cam, target, cfg, 1e-2)
+    p_b, _, _ = train_step(params, opt_state, scene, cam, target, cfg, 1e-4)
+    da = np.abs(np.asarray(p_a.diffuse) - np.asarray(params.diffuse)).max()
+    db = np.abs(np.asarray(p_b.diffuse) - np.asarray(params.diffuse)).max()
+    assert da > 0 and db > 0
+    # adam's first step is ~lr * sign(g): the two lrs must differ ~100x
+    assert da > db * 10
