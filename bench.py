@@ -128,6 +128,40 @@ def main():
           f"{1.0/t_build:.1f} builds/sec ({scene_h.num_faces} tris)",
           file=sys.stderr)
 
+    # ---- sort backend A/B (round-5 verdict item 3c): the same
+    # marginal in-stream build, lax.sort vs the in-VMEM bitonic kernel.
+    # The winner is wired as the shipped default (config.py
+    # sort_backend); the loser stays selectable + tested.
+    try:
+        def builds_sort(k, backend):
+            cfg_s = cfg.replace(sort_backend=backend)
+
+            @jax.jit
+            def f(s):
+                def step(acc, yaw):
+                    c = jnp.cos(yaw)
+                    w2 = wvp.at[0, 0].mul(c)
+                    bvh = build_bvh(s, w2, wv, cfg_s)
+                    return acc + bvh.bbmin[s.num_faces].sum() + bvh.skip_link.sum(), None
+                acc, _ = jax.lax.scan(
+                    step, jnp.float32(0.0), jnp.linspace(0.0, 0.1, k))
+                return acc
+            return f
+
+        sort_ab = {}
+        for backend in ("lax", "bitonic"):
+            tb1 = timed(builds_sort(1, backend), scene_nt, warmup=1, iters=5)
+            tb9 = timed(builds_sort(9, backend), scene_nt, warmup=1, iters=5)
+            sort_ab[backend] = max((tb9 - tb1) / 8.0, 1e-9) * 1e3
+        detail["sort_ab_build_ms"] = sort_ab
+        winner = min(sort_ab, key=sort_ab.get)
+        detail["sort_ab_winner"] = winner
+        print(f"# sort A/B (in-stream build): lax {sort_ab['lax']:.3f} ms "
+              f"vs bitonic {sort_ab['bitonic']:.3f} ms -> {winner}",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# sort A/B failed: {e}", file=sys.stderr)
+
     # ---- forward-only frame
     fwd = jax.jit(lambda s, c: render_frame(s, c, cfg))
     t_fwd = timed(fwd, scene, cam, warmup=1, iters=3)
@@ -135,6 +169,71 @@ def main():
     detail["fwd_mrays_per_sec"] = rays_per_frame / t_fwd / 1e6
     print(f"# forward frame: {t_fwd*1e3:.1f} ms -> "
           f"{rays_per_frame/t_fwd/1e6:.2f} Mrays/s", file=sys.stderr)
+
+    # ---- headline stage accounting (round-5 verdict item 6): decompose
+    # the sparse fwd frame with a measured micro-step counter on the
+    # <=32k-leaf Pallas kernel + the culled-chunk census, replacing the
+    # vacuous frame-level HBM bound.
+    try:
+        from raytracebvh_tpu.ops.traverse_pallas import traverse_pallas
+        from raytracebvh_tpu.pipeline import make_rays
+
+        # traversal time via the same scan-marginal method as the build
+        # (in-stream, free of per-dispatch/sync artifacts)
+        def bt_k(k):
+            @jax.jit
+            def f(s):
+                def step(acc, yaw):
+                    c2 = jnp.cos(yaw)
+                    w2 = wvp.at[0, 0].mul(c2)
+                    bvh = build_bvh(s, w2, wv, cfg)
+                    rays = make_rays(cam, cfg)
+                    rec, steps = traverse_pallas(
+                        bvh, rays, cfg.epsilon, return_steps=True)
+                    return acc + rec.distance.sum() + steps.sum(), None
+                acc, _ = jax.lax.scan(
+                    step, jnp.float32(0.0), jnp.linspace(0.0, 0.1, k))
+                return acc
+            return f
+
+        tb1 = timed(bt_k(1), scene, warmup=1, iters=3)
+        tb5 = timed(bt_k(5), scene, warmup=1, iters=3)
+        trav_ms = max((tb5 - tb1) / 4.0 - t_build, 1e-9) * 1e3
+
+        def trav_census(s):
+            bvh = build_bvh(s, wvp, wv, cfg)
+            rays = make_rays(cam, cfg)
+            rec, steps = traverse_pallas(
+                bvh, rays, cfg.epsilon, return_steps=True)
+            return steps, jnp.sum(rec.hit.reshape(-1, cfg.ray_chunk), 1)
+
+        steps_h, chunk_hits = jax.jit(trav_census)(scene)
+        total_steps_h = int(np.asarray(steps_h).sum())
+        shaded = int((np.asarray(chunk_hits) > 0).sum())
+        nchunks = int(np.asarray(chunk_hits).shape[0])
+        # same VPU micro-step light model as the hbm kernel: >=110
+        # (8,128)-vreg ops per step (16-ch splat + slab/MT + bookkeeping)
+        t_light_h = total_steps_h * 110 / 0.94e9
+        detail["headline_stages"] = {
+            "build_ms": t_build * 1e3,
+            "primary_traversal_ms": trav_ms,
+            "primary_microsteps": total_steps_h,
+            "primary_pct_of_step_light": 100.0 * t_light_h * 1e3 / trav_ms,
+            "chunks_shaded": shaded,
+            "chunks_total": nchunks,
+            "shade_etc_ms_est": t_fwd * 1e3 - t_build * 1e3 - trav_ms,
+            "note": ("build + primary traversal measured in-stream "
+                     "(scan-marginal); shade_etc = fwd - build - "
+                     "traversal, which also carries the per-call host "
+                     "sync overhead of this tunneled chip"),
+        }
+        print(f"# headline decomposition: build {t_build*1e3:.2f} ms + "
+              f"primary traversal {trav_ms:.1f} ms ({total_steps_h} steps, "
+              f"{100.0*t_light_h*1e3/trav_ms:.0f}% of step-light) + "
+              f"shade/sync ~{t_fwd*1e3 - t_build*1e3 - trav_ms:.1f} ms; "
+              f"{shaded}/{nchunks} chunks shaded", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# headline stage accounting failed: {e}", file=sys.stderr)
 
     # ---- shadow config (BASELINE config 3): 1080p shading + shadow rays
     cfg_sh = cfg.replace(bounces=0, enable_shadows=True)
@@ -166,6 +265,102 @@ def main():
           f"{rays_per_sec/1e6:.2f} Mrays/s "
           f"(round 1: {ROUND1_RAYS_PER_SEC/1e6:.1f})", file=sys.stderr)
 
+    # ---- DENSE frame (round-5 verdict item 1): the subject fills the
+    # 1080p frame (ortho_scale=256 -> 71.5% of rays hit vs 0.15% in the
+    # sparse headline; reference out.bmp shows a frame-filling subject).
+    # Every pixel pays traversal AND shade here, so the sparse frame's
+    # chunk-cull lever is ~worthless and the regime-specific winners
+    # apply: the HBM rank-sweep traversal (the VMEM lock-step kernel
+    # collapses to 10.6 Mrays/s on dense divergent lanes), 16px-tile ray
+    # order, and the windowed u32-UNORM8 texture gather.
+    dense = {}
+    try:
+        # drop the headline executables first (same reason as the large
+        # scene: their closed-over constants pin HBM — the dense fwd
+        # measured 320 ms with them live vs ~140 ms clean)
+        del fwd, fwd_sh, grad_fn
+        jax.clear_caches()
+        cfg_d = cfg.replace(
+            ortho_scale=256.0, ray_chunk=0, traversal_backend="hbm",
+            ray_tile=16, texture_dtype="uint8",
+        )
+        fwd_d = jax.jit(lambda s, c: render_frame(s, c, cfg_d))
+        img_d = fwd_d(scene, cam)
+        t_fd = timed(fwd_d, scene, cam, warmup=0, iters=3)
+        # hit rate census (from the background alpha channel: miss
+        # pixels carry the exact background color)
+        bg = np.asarray(cfg_d.background)
+        miss = (np.abs(np.asarray(img_d) - bg) < 1e-6).all(-1).sum()
+        dense["hit_rate"] = 1.0 - float(miss) / (width * height)
+        dense["fwd_ms"] = t_fd * 1e3
+        dense["fwd_mrays_per_sec"] = rays_per_frame / t_fd / 1e6
+        print(f"# dense frame ({100*dense['hit_rate']:.0f}% hit): fwd "
+              f"{t_fd*1e3:.1f} ms -> {rays_per_frame/t_fd/1e6:.2f} Mrays/s",
+              file=sys.stderr)
+
+        cfg_dsh = cfg_d.replace(bounces=0, enable_shadows=True)
+        fwd_dsh = jax.jit(lambda s, c: render_frame(s, c, cfg_dsh))
+        t_dsh = timed(fwd_dsh, scene, cam, warmup=1, iters=3)
+        dense["shadows_ms"] = t_dsh * 1e3
+        dense["shadows_mrays_per_sec"] = sh_rays / t_dsh / 1e6
+        print(f"# dense shadows: {t_dsh*1e3:.1f} ms -> "
+              f"{sh_rays/t_dsh/1e6:.2f} Mrays/s", file=sys.stderr)
+
+        grad_d = jax.jit(jax.value_and_grad(
+            lambda p: loss_fn(p, scene, cam, target, cfg_d)))
+        t_gd = timed(grad_d, params, warmup=1, iters=3)
+        _, g_d = grad_d(params)
+        dense["fwd_bwd_ms"] = t_gd * 1e3
+        dense["fwd_bwd_mrays_per_sec"] = rays_per_frame / t_gd / 1e6
+        dense["fwd_bwd_grads_finite"] = bool(
+            np.isfinite(np.asarray(g_d.vert_offsets)).all())
+        print(f"# dense fwd+bwd: {t_gd*1e3:.1f} ms -> "
+              f"{rays_per_frame/t_gd/1e6:.2f} Mrays/s (grads finite: "
+              f"{dense['fwd_bwd_grads_finite']})", file=sys.stderr)
+        del fwd_d, fwd_dsh, grad_d, img_d, g_d
+    except Exception as e:  # pragma: no cover
+        dense["error"] = f"{type(e).__name__}: {e}"
+        print(f"# dense bench failed: {dense['error']}", file=sys.stderr)
+    detail["dense"] = dense
+
+    # ---- interactive loop (round-5 verdict item 7): a 20-frame camera
+    # orbit at 800x800/3 bounces (the reference's actual usage:
+    # per-frame loop, Graphics.cpp:667-831).  Naive = host blocks each
+    # frame (pays the tunnel sync every frame); pipelined = enqueue all,
+    # drain the in-order queue once (cli/render.py default).
+    try:
+        from raytracebvh_tpu.camera import orbit
+
+        cfg_i = RenderConfig(width=800, height=800, bounces=3,
+                             ray_chunk=25600)
+        f_i = jax.jit(lambda s, c: render_frame(s, c, cfg_i))
+        cams = [cam]
+        for _ in range(20):
+            cams.append(orbit(cams[-1], 0.1, 0.0))
+        np.asarray(f_i(scene, cams[0])[0, 0])  # compile + warm
+        t0 = time.perf_counter()
+        for c in cams[1:]:
+            jax.block_until_ready(f_i(scene, c))
+        t_naive = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        img_i = None
+        for c in cams[1:]:
+            img_i = f_i(scene, c)
+        np.asarray(img_i[0, 0])  # in-order drain
+        t_pipe = time.perf_counter() - t0
+        detail["interactive"] = {
+            "frames": 20,
+            "naive_fps": 20.0 / t_naive,
+            "pipelined_fps": 20.0 / t_pipe,
+            "speedup": t_naive / t_pipe,
+        }
+        print(f"# interactive 800x800x3-bounce orbit: naive "
+              f"{20.0/t_naive:.2f} FPS, pipelined {20.0/t_pipe:.2f} FPS "
+              f"({t_naive/t_pipe:.2f}x)", file=sys.stderr)
+        del f_i, img_i
+    except Exception as e:  # pragma: no cover
+        print(f"# interactive bench failed: {e}", file=sys.stderr)
+
     # ---- LARGE scene (BASELINE config 5 class): 102 400 tris, 1080p.
     # First-class so round-over-round progress is driver-visible.
     from raytracebvh_tpu.camera import permute_rays, tile_order
@@ -175,11 +370,9 @@ def main():
 
     large = {}
     try:
-        # drop the headline executables first: their closed-over
-        # constants (target image, folded texture tables) pin HBM and
-        # the measured large fwd+bwd degrades 251 -> 341 ms under that
-        # pressure; the persistent compile cache makes re-JITs cheap
-        del fwd, fwd_sh, grad_fn
+        # headline/dense executables are already dropped above (their
+        # closed-over constants pin HBM: large fwd+bwd measured 251 ->
+        # 341 ms under that pressure); re-clear for the dense block's
         jax.clear_caches()
         scene_l = scene_to_device(sphere_grid(nx=4, ny=4, subdiv=40))
         large["tris"] = int(scene_l.num_faces)
@@ -288,6 +481,33 @@ def main():
             " serial / "
             f"{detail['multihost_prediction']['efficiency_overlapped_bound']:.3f}"
             " overlapped", file=sys.stderr)
+
+        # config-5 row (round-5 verdict item 5): the 102k-tri scene,
+        # where the geometry all-gather is no longer negligible, with
+        # the stated-bandwidth assumption stress-tested at 0.5x/2x
+        if "fwd_bwd_ms" in large:
+            from raytracebvh_tpu.parallel.scaling import DCN_BW, ICI_BW
+
+            p5 = predict_multihost_efficiency(
+                scene_l, params_l, large["fwd_bwd_ms"] / 1e3,
+                hosts=4, local_devices=4, geo=2,
+            )
+            p5["bw_sensitivity"] = {
+                f"{f}x": predict_multihost_efficiency(
+                    scene_l, params_l, large["fwd_bwd_ms"] / 1e3,
+                    hosts=4, local_devices=4, geo=2,
+                    ici_bw=ICI_BW * f, dcn_bw=DCN_BW * f,
+                )["efficiency_serial_bound"]
+                for f in (0.5, 1.0, 2.0)
+            }
+            detail["multihost_prediction_config5"] = p5
+            print(
+                "# multihost config-5 (102k tris): all-gather "
+                f"{p5['ici_bytes_per_device']/1e6:.2f} MB/device/step, "
+                f"eff {p5['efficiency_serial_bound']:.3f} serial "
+                f"(BW 0.5x/2x: "
+                f"{p5['bw_sensitivity']['0.5x']:.3f}/"
+                f"{p5['bw_sensitivity']['2.0x']:.3f})", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"# multihost prediction failed: {e}", file=sys.stderr)
 

@@ -54,11 +54,14 @@ class RenderConfig:
         A 'pallas_pre' pre-order gather kernel existed through round 3
         but was never auto-selected and measured 0.02 Mrays/s at 100k
         leaves; deleted.
-      sort_backend: 'auto' (in-VMEM Pallas bitonic kernel on TPU, lax
-        elsewhere), 'lax' (one fused jax.lax.sort), 'bitonic' (the
-        whole-problem-in-VMEM Pallas network, ops/sort_pallas.py) or
-        'radix' (the reference's 32-dispatch 1-bit LSD radix sort,
-        algorithm-for-algorithm; reference: RadixSortP1/P2.hlsl).
+      sort_backend: 'lax' (one fused jax.lax.sort — the DEFAULT, chosen
+        by an on-device A/B inside the in-stream build bench: 0.26 ms
+        vs 0.51 ms bitonic per 3k-tri build, round 5; bench.py re-runs
+        the A/B every round as sort_ab_build_ms), 'bitonic' (the
+        whole-problem-in-VMEM Pallas network, ops/sort_pallas.py —
+        kept selectable + tested), 'auto' (bitonic on TPU; predates the
+        A/B) or 'radix' (the reference's 32-dispatch 1-bit LSD radix
+        sort, algorithm-for-algorithm; reference: RadixSortP1/P2.hlsl).
       dtype: compute dtype for geometry / shading.
     """
 
@@ -95,6 +98,15 @@ class RenderConfig:
     # elsewhere.  Texture sampling always uses the XLA quad gather (the
     # quad table is tens of MB — HBM-resident by necessity).
     shade_gather_backend: str = "auto"
+    # Texture quad-table GATHER backend: 'windowed' runs the coherent
+    # HBM window kernel (ops/gather_hbm.py — per 2048-ray block, DMA the
+    # touched 128-row windows and lane-shuffle in VMEM; screen-space
+    # continuity makes texel indices coherent), 'xla' the one-row XLA
+    # gather.  'auto' = windowed on TPU: the XLA gather measured ~37-48
+    # ms/pass inside the dense 1080p frame (its fusion re-prices the
+    # gather per consumer channel) vs ~1 ms windowed
+    # (scripts/tpu_dense_shade.py, round 5).
+    texture_gather_backend: str = "auto"
     # 'uint8' stores the per-frame texture quad table as UNORM8 — the
     # reference's own texture format (DevIL loads 8-bit BMP/JPG,
     # Image.cpp:35-61) — quartering its HBM footprint; measured

@@ -294,6 +294,67 @@ def pack_texture_quads(textures, tex_hw):
     return quads.reshape(t * h * w, 4 * c)
 
 
+# Texel-tile window geometry for the windowed (coherent HBM) texture
+# gather: one 128-texel window = an 8-row x 16-col TILE of the texture,
+# not 128 consecutive row-major texels.  Screen-space-local ray blocks
+# then touch few windows regardless of how the mesh ROTATES uv onto the
+# screen — the round-5 dense probe measured p90 = 126 row-major windows
+# per 2048-ray block (u mapped along screen y) vs ~8-32 tiled.
+TILE_Y, TILE_X = 8, 16
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def pack_texture_quads_tiled(textures, tex_hw):
+    """[T, H, W, 4] -> [nw, 16, 128] window-major quad table with
+    TILE_Y x TILE_X texel-tile windows (for ops/gather_hbm.
+    gather_rows_packed; index math in tiled_texel_index).
+
+    Differentiable: pure pad/reshape/transpose over pack_texture_quads'
+    rolls, so texture-training gradients flow through unchanged."""
+    t, h, w, c4 = textures.shape
+    quads = pack_texture_quads(textures, tex_hw).reshape(t, h, w, 16)
+    hp, wp = _round_up(h, TILE_Y), _round_up(w, TILE_X)
+    q = jnp.zeros((t, hp, wp, 16), quads.dtype).at[:, :h, :w].set(quads)
+    q = q.reshape(t, hp // TILE_Y, TILE_Y, wp // TILE_X, TILE_X, 16)
+    q = q.transpose(0, 1, 3, 2, 4, 5)  # [t, ty, tx, 8, 16, 16ch]
+    q = q.reshape(t * (hp // TILE_Y) * (wp // TILE_X), TILE_Y * TILE_X, 16)
+    return q.transpose(0, 2, 1)  # [nw, 16ch, 128]
+
+
+def tiled_texel_index(tid, xi, yi, hmax, wmax):
+    """Packed row index of texel (tid, yi, xi) in the
+    pack_texture_quads_tiled layout (window*128 + lane)."""
+    tiles_x = _round_up(wmax, TILE_X) // TILE_X
+    tiles_per_tex = (_round_up(hmax, TILE_Y) // TILE_Y) * tiles_x
+    wid = tid * tiles_per_tex + (yi // TILE_Y) * tiles_x + (xi // TILE_X)
+    lane = (yi % TILE_Y) * TILE_X + (xi % TILE_X)
+    return wid * 128 + lane
+
+
+def pack_quads_u32(tq_u8):
+    """[nw, 16, 128] uint8 quads (quantize_quads_u8 of the tiled pack)
+    -> [nw, 4, 128] int32: each corner's RGBA packed little-endian into
+    one 32-bit lane.  The windowed gather kernel's cost is one lane
+    shuffle PER CHANNEL per served window — 4 channels instead of 16 is
+    4x less vector work (and a 4x smaller DMA); the unpack after the
+    gather is 3 shift-and-mask ops per corner.  Bit-exact with the
+    uint8 path (same quantization)."""
+    q = tq_u8.astype(jnp.uint32)
+    packed = [
+        q[:, 4 * g]
+        | (q[:, 4 * g + 1] << 8)
+        | (q[:, 4 * g + 2] << 16)
+        | (q[:, 4 * g + 3] << 24)
+        for g in range(4)
+    ]
+    return jax.lax.bitcast_convert_type(
+        jnp.stack(packed, axis=1), jnp.int32
+    )
+
+
 def quantize_quads_u8(tex_quads):
     """[*, 16] float quads in [0,1] -> uint8 (UNORM8).
 
@@ -335,10 +396,36 @@ def sample_texture_quads(tex_quads, tex_hw, tex_id, u, v, hmax, wmax):
     # Image_Test.obj — the per-ray bit-interleave math plus the
     # power-of-two-padded, ~2.6x larger table cost more than the layout
     # bought); row-major is the one texture path.
-    flat = (tid * hmax + yi) * wmax + xi
-    q = tex_quads[flat]  # [R, 16] — the one gather
-    if q.dtype == jnp.uint8:  # UNORM8 path (see quantize_quads_u8)
-        q = q.astype(u.dtype) / 255.0
+    if tex_quads.ndim == 3:
+        # windowed-packed table (texel-TILE windows,
+        # pack_texture_quads_tiled): coherent-window Pallas gather
+        # (ops/gather_hbm.py) — one opaque kernel instead of an XLA
+        # gather measured ~36 ms/pass on the dense frame's real texel
+        # stream
+        from .gather_hbm import gather_rows_packed
+
+        idxw = tiled_texel_index(tid, xi, yi, hmax, wmax)
+        if tex_quads.dtype == jnp.int32:
+            # u32-packed UNORM8 (pack_quads_u32): 4-channel gather +
+            # shift/mask unpack
+            qp = gather_rows_packed(tex_quads, idxw, 4)  # [4, R] i32
+            qu = jax.lax.bitcast_convert_type(qp, jnp.uint32)
+            inv255 = jnp.asarray(1.0 / 255.0, u.dtype)
+
+            def qc(k):
+                b = ((qu[k // 4] >> (8 * (k % 4))) & 0xFF)
+                return b.astype(u.dtype) * inv255
+        else:
+            qcm = gather_rows_packed(tex_quads, idxw, 16)  # [16, R]
+            if qcm.dtype == jnp.uint8:
+                qcm = qcm.astype(u.dtype) / 255.0
+            qc = lambda k: qcm[k]
+    else:
+        flat = (tid * hmax + yi) * wmax + xi
+        q = tex_quads[flat]  # [R, 16] — the one gather
+        if q.dtype == jnp.uint8:  # UNORM8 path (see quantize_quads_u8)
+            q = q.astype(u.dtype) / 255.0
+        qc = lambda k: q[:, k]
     w00 = (1 - fx) * (1 - fy)
     w10 = fx * (1 - fy)
     w01 = (1 - fx) * fy
@@ -347,10 +434,10 @@ def sample_texture_quads(tex_quads, tex_hw, tex_id, u, v, hmax, wmax):
     out = []
     for c in range(4):
         col = (
-            q[:, c] * w00
-            + q[:, 4 + c] * w10
-            + q[:, 8 + c] * w01
-            + q[:, 12 + c] * w11
+            qc(c) * w00
+            + qc(4 + c) * w10
+            + qc(8 + c) * w01
+            + qc(12 + c) * w11
         )
         out.append(jnp.where(has_tex, col, jnp.ones_like(col)))
     return tuple(out)

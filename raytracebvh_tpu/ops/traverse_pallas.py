@@ -95,9 +95,13 @@ def _unpack_links(bits_f32):
 
 
 def _traverse_kernel(
-    node_ref, o_ref, d_ref, out_ref, scratch,
-    *, n_leaves, node_width, epsilon, max_steps,
+    node_ref, o_ref, d_ref, out_ref, *rest,
+    n_leaves, node_width, epsilon, max_steps,
 ):
+    # rest = (steps_ref, scratch) when a step-counter output is wired
+    # (return_steps), else (scratch,)
+    steps_ref = rest[0] if len(rest) == 2 else None
+    scratch = rest[-1]
     node_tbl = node_ref[:]  # [CHANNELS, node_width]
 
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
@@ -110,11 +114,11 @@ def _traverse_kernel(
     root = jnp.full((1, w), n_leaves, jnp.int32)
 
     def cond(state):
-        node, _, _, _, step = state
+        node, _, _, _, step, _ = state
         return jnp.logical_and(jnp.max(node) >= 0, step < max_steps)
 
     def body(state):
-        node, hit, dist, leaf, step = state
+        node, hit, dist, leaf, step, stepv = state
         live = node >= 0
         # Idle lanes follow a live representative instead of parking at
         # node 0: _gather_cols prunes source tiles by the [min, max] of
@@ -191,19 +195,30 @@ def _traverse_kernel(
         descend = bhit & jnp.logical_not(is_leaf)
         nxt = jnp.where(descend, entry, skip)
         node = jnp.where(live, nxt, node)
-        return node, hit, dist, leaf, step + 1
+        # the vector counter adds hit+1-hit instead of a literal 1:
+        # Mosaic constant-folded a plain `stepv + 1.0` accumulator to
+        # its first iteration on device (read back 1 everywhere)
+        one = (hit - hit) + 1
+        return node, hit, dist, leaf, step + 1, stepv + one.astype(stepv.dtype)
 
     state = (
         root,
         jnp.zeros((1, w), jnp.int32),  # hit flag (int32: Mosaic lacks i1 carries)
         jnp.zeros((1, w), jnp.float32),
         jnp.zeros((1, w), jnp.int32),
-        jnp.int32(0),
+        jnp.int32(0),  # scalar step bound (cond)
+        jnp.zeros((1, w), jnp.float32),  # per-lane f32 step counter
     )
-    node, hit, dist, leaf, _ = jax.lax.while_loop(cond, body, state)
+    node, hit, dist, leaf, step, stepv = jax.lax.while_loop(
+        cond, body, state)
     out_ref[0:1, :] = dist
     out_ref[1:2, :] = pltpu.bitcast(leaf, jnp.float32)
     out_ref[2:3, :] = pltpu.bitcast(hit, jnp.float32)
+    if steps_ref is not None:  # per-tile micro-step count (utilization
+        # accounting, like the hbm refill kernel's stepc) — a dedicated
+        # single-row f32 output (appended rows on the 3-row block land
+        # in sublane padding on device; int vector carries misfold)
+        steps_ref[0:1, :] = stepv
 
 
 def _traverse_any_kernel(
@@ -415,12 +430,14 @@ def traverse_pallas(
     max_steps: int = 0,
     block_rays: int = 1024,
     interpret: bool | None = None,
+    return_steps: bool = False,
 ) -> HitRecord:
     """Drop-in replacement for ops.traverse.traverse (f32 only).
 
     ``interpret`` defaults to True off-TPU so the kernel is testable on
-    the CPU mesh.
-    """
+    the CPU mesh.  ``return_steps=True`` additionally returns the
+    [ntiles] per-block micro-step counts (utilization accounting in
+    bench.py, mirroring traverse_hbm_pallas)."""
     n = bvh.n_leaves
     if max_steps <= 0:
         max_steps = 4 * n
@@ -447,6 +464,15 @@ def traverse_pallas(
         max_steps=max_steps,
     )
     grid = (rpad // block_rays,)
+    out_specs = pl.BlockSpec(
+        (3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((3, rpad), jnp.float32)
+    if return_steps:
+        out_specs = (out_specs, pl.BlockSpec(
+            (1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, rpad), jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -456,15 +482,20 @@ def traverse_pallas(
             pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, rpad), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((CHANNELS, LANES), jnp.float32)],
         interpret=interpret,
     )(node_tbl, origin, direction)
 
+    if return_steps:
+        out, steps_row = out
     dist = out[0, :nrays]
     leaf = jax.lax.bitcast_convert_type(out[1, :nrays], jnp.int32)
     hit = jax.lax.bitcast_convert_type(out[2, :nrays], jnp.int32) > 0
-    return HitRecord(hit=hit, distance=dist, leaf=leaf)
+    rec = HitRecord(hit=hit, distance=dist, leaf=leaf)
+    if return_steps:
+        steps = steps_row[0].reshape(
+            rpad // block_rays, block_rays)[:, 0].astype(jnp.int32)
+        return rec, steps
+    return rec

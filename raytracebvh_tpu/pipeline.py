@@ -687,11 +687,50 @@ def _frame_tex_quads(scene: Scene, cfg: RenderConfig):
     """One quad table per frame, shared by every pass and every ray
     chunk (see ops/shade.pack_texture_quads; a precomputed
     morton-swizzled table was tried in round 3 and measured slower
-    end-to-end — see sample_texture_quads)."""
-    tex_quads = shade_ops.pack_texture_quads(scene.textures, scene.tex_hw)
-    if cfg.texture_dtype == "uint8":
-        tex_quads = shade_ops.quantize_quads_u8(
-            jax.lax.stop_gradient(tex_quads)
+    end-to-end — see sample_texture_quads).
+
+    With the windowed texture-gather backend the table is additionally
+    packed to the [nw, 16, 128] window-major HBM layout here — once per
+    frame, NOT per pass/chunk (sample_texture_quads dispatches on
+    ndim)."""
+    backend = cfg.texture_gather_backend
+    if backend == "auto":
+        # windowed pays off when the quad table is large (the XLA row
+        # gather's per-row cost dominates: ~36 ms/pass at 1080p dense on
+        # a 1.6M-row table) AND only on TPU; on small tables the window
+        # serve machinery loses to the plain gather (large-scene 64x64
+        # checker: 219.6 ms windowed vs 197.4 xla — round-5 A/B)
+        t, h, w = (scene.textures.shape[0], scene.textures.shape[1],
+                   scene.textures.shape[2])
+        big = t * h * w >= 65536  # >= 512 windows (4 MB of f32 quads)
+        backend = (
+            "windowed" if (jax.default_backend() == "tpu" and big)
+            else "xla"
+        )
+    if backend == "windowed":
+        tex_quads = shade_ops.pack_texture_quads_tiled(
+            scene.textures, scene.tex_hw
+        )
+        if cfg.texture_dtype == "uint8":
+            # u32-packed UNORM8: 4-channel windowed gather (4x less
+            # shuffle work + 4x smaller DMA than 16 f32 channels)
+            tex_quads = shade_ops.pack_quads_u32(
+                shade_ops.quantize_quads_u8(
+                    jax.lax.stop_gradient(tex_quads)
+                )
+            )
+    elif backend == "xla":
+        tex_quads = shade_ops.pack_texture_quads(
+            scene.textures, scene.tex_hw
+        )
+        if cfg.texture_dtype == "uint8":
+            tex_quads = shade_ops.quantize_quads_u8(
+                jax.lax.stop_gradient(tex_quads)
+            )
+    else:
+        raise ValueError(
+            f"unknown texture_gather_backend {cfg.texture_gather_backend!r};"
+            " expected auto, xla or windowed"
         )
     return tex_quads
 

@@ -161,3 +161,52 @@ def test_predict_multihost_efficiency_model():
     p8 = predict_multihost_efficiency(scene, params, 0.105,
                                       hosts=8, local_devices=4, geo=2)
     assert p8["dcn_bytes_per_device"] >= pred["dcn_bytes_per_device"]
+
+
+def test_geo_sharded_midsize_scene():
+    """Round-5 verdict item 5: the sharded leaf stage beyond toy scale —
+    4096 triangles (12288 sharded verts/indices per device pair), 128x128
+    rays.  The geo all-gather ships ~344 kB of derived leaf arrays."""
+    scene = scene_to_device(
+        random_triangles(4096, seed=5, extent=40.0, tri_size=3.0,
+                         with_texture=True)
+    )
+    cam = Camera.default()
+    cfg = RenderConfig(width=128, height=128, bounces=0)
+    mesh = make_mesh(8, geo=2)
+    img_s = np.asarray(render_geo_sharded(scene, cam, cfg, mesh))
+    img_1 = np.asarray(render_frame_jit(scene, cam, cfg))
+    # a 4k-tri build reassociates more f32 math than the 16-tri case
+    np.testing.assert_allclose(img_s, img_1, atol=5e-3)
+    # the frame must actually exercise the scene (not background)
+    assert (np.abs(img_1[..., 0] - 0.5) > 1e-6).sum() > 10000
+
+
+def test_train_step_sharded_midsize_grads():
+    """Distributed fwd+bwd at mid-size geometry: gradients from the
+    geo-sharded + ray-sharded step match single-device jax.grad."""
+    scene = scene_to_device(
+        random_triangles(4096, seed=5, extent=40.0, tri_size=3.0,
+                         with_texture=True)
+    )
+    cam = Camera.default()
+    cfg = RenderConfig(width=64, height=64, bounces=0)
+    mesh = make_mesh(8, geo=2)
+    params = init_params(scene)
+    target = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+    loss_s, grads_s = train_step_sharded(
+        params, apply_params, scene, cam, target, cfg, mesh
+    )
+
+    from raytracebvh_tpu.models.inverse import loss_fn
+
+    loss_1, grads_1 = jax.value_and_grad(loss_fn)(
+        params, scene, cam, target, cfg
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-5)
+    # f32 reassociation across the differently-compiled sharded program
+    # shifts a handful of near-zero entries; the loss agrees to 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(grads_s),
+                    jax.tree_util.tree_leaves(grads_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=3e-5)
