@@ -86,6 +86,65 @@ def main():
             jax.block_until_ready(fn(*args))
         return (time.perf_counter() - t0) / iters
 
+    params = init_params(scene)
+    target = jnp.zeros((height, width, 4), jnp.float32)
+
+    # ---- DENSE frame (round-5 verdict item 1): the subject fills the
+    # 1080p frame (ortho_scale=256 -> 72% of rays hit vs 0.15% in the
+    # sparse headline; reference out.bmp shows a frame-filling subject).
+    # Every pixel pays traversal AND shade here, so the sparse frame's
+    # chunk-cull lever is ~worthless and the regime-specific winners
+    # apply: the HBM rank-sweep traversal (the VMEM lock-step kernel
+    # collapses to 10.6 Mrays/s on dense divergent lanes), 16px-tile ray
+    # order, and the windowed u32-UNORM8 texture gather.  Measured FIRST,
+    # in a pristine process: with the headline executables live the same
+    # fwd read 320-417 ms vs ~160 stable standalone.
+    dense = {}
+    try:
+        cfg_d = cfg.replace(
+            ortho_scale=256.0, ray_chunk=0, traversal_backend="hbm",
+            ray_tile=16, texture_dtype="uint8",
+        )
+        fwd_d = jax.jit(lambda s, c: render_frame(s, c, cfg_d))
+        img_d = fwd_d(scene, cam)
+        t_fd = timed(fwd_d, scene, cam, warmup=1, iters=3)
+        # hit rate census (from the background alpha channel: miss
+        # pixels carry the exact background color)
+        bg = np.asarray(cfg_d.background)
+        miss = (np.abs(np.asarray(img_d) - bg) < 1e-6).all(-1).sum()
+        dense["hit_rate"] = 1.0 - float(miss) / (width * height)
+        dense["fwd_ms"] = t_fd * 1e3
+        dense["fwd_mrays_per_sec"] = rays_per_frame / t_fd / 1e6
+        print(f"# dense frame ({100*dense['hit_rate']:.0f}% hit): fwd "
+              f"{t_fd*1e3:.1f} ms -> {rays_per_frame/t_fd/1e6:.2f} Mrays/s",
+              file=sys.stderr)
+
+        cfg_dsh = cfg_d.replace(bounces=0, enable_shadows=True)
+        fwd_dsh = jax.jit(lambda s, c: render_frame(s, c, cfg_dsh))
+        t_dsh = timed(fwd_dsh, scene, cam, warmup=1, iters=3)
+        dense["shadows_ms"] = t_dsh * 1e3
+        dense["shadows_mrays_per_sec"] = width * height * 2 / t_dsh / 1e6
+        print(f"# dense shadows: {t_dsh*1e3:.1f} ms -> "
+              f"{width*height*2/t_dsh/1e6:.2f} Mrays/s", file=sys.stderr)
+
+        grad_d = jax.jit(jax.value_and_grad(
+            lambda p: loss_fn(p, scene, cam, target, cfg_d)))
+        t_gd = timed(grad_d, params, warmup=1, iters=3)
+        _, g_d = grad_d(params)
+        dense["fwd_bwd_ms"] = t_gd * 1e3
+        dense["fwd_bwd_mrays_per_sec"] = rays_per_frame / t_gd / 1e6
+        dense["fwd_bwd_grads_finite"] = bool(
+            np.isfinite(np.asarray(g_d.vert_offsets)).all())
+        print(f"# dense fwd+bwd: {t_gd*1e3:.1f} ms -> "
+              f"{rays_per_frame/t_gd/1e6:.2f} Mrays/s (grads finite: "
+              f"{dense['fwd_bwd_grads_finite']})", file=sys.stderr)
+        del fwd_d, fwd_dsh, grad_d, img_d, g_d
+        jax.clear_caches()
+    except Exception as e:  # pragma: no cover
+        dense["error"] = f"{type(e).__name__}: {e}"
+        print(f"# dense bench failed: {dense['error']}", file=sys.stderr)
+    detail["dense"] = dense
+
     # ---- BVH builds/sec (full morton+sort+karras+fit+links rebuild).
     # K rebuilds (distinct camera transforms) run inside ONE jitted scan,
     # like the reference enqueues its build in the frame's command list
@@ -148,11 +207,15 @@ def main():
                 return acc
             return f
 
+        # k=33: the marginal divides per-call jitter by 32 — at k=9 the
+        # A/B flip-flopped between runs (0.26-0.51 ms, difference within
+        # per-call noise/8).  lax.scan's trip count is compile-cheap.
         sort_ab = {}
         for backend in ("lax", "bitonic"):
             tb1 = timed(builds_sort(1, backend), scene_nt, warmup=1, iters=5)
-            tb9 = timed(builds_sort(9, backend), scene_nt, warmup=1, iters=5)
-            sort_ab[backend] = max((tb9 - tb1) / 8.0, 1e-9) * 1e3
+            tb33 = timed(builds_sort(33, backend), scene_nt, warmup=1,
+                         iters=5)
+            sort_ab[backend] = max((tb33 - tb1) / 32.0, 1e-9) * 1e3
         detail["sort_ab_build_ms"] = sort_ab
         winner = min(sort_ab, key=sort_ab.get)
         detail["sort_ab_winner"] = winner
@@ -246,9 +309,7 @@ def main():
           f"{sh_rays/t_sh/1e6:.2f} Mrays/s (primary+shadow)", file=sys.stderr)
 
     # ---- fwd+bwd (the headline): gradient of the image loss w.r.t.
-    # vertex offsets + material colors
-    params = init_params(scene)
-    target = jnp.zeros((height, width, 4), jnp.float32)
+    # vertex offsets + material colors (params/target defined up top)
     grad_fn = jax.jit(jax.value_and_grad(
         lambda p: loss_fn(p, scene, cam, target, cfg)
     ))
@@ -264,64 +325,6 @@ def main():
     print(f"# fwd+bwd frame: {t_step*1e3:.1f} ms -> "
           f"{rays_per_sec/1e6:.2f} Mrays/s "
           f"(round 1: {ROUND1_RAYS_PER_SEC/1e6:.1f})", file=sys.stderr)
-
-    # ---- DENSE frame (round-5 verdict item 1): the subject fills the
-    # 1080p frame (ortho_scale=256 -> 71.5% of rays hit vs 0.15% in the
-    # sparse headline; reference out.bmp shows a frame-filling subject).
-    # Every pixel pays traversal AND shade here, so the sparse frame's
-    # chunk-cull lever is ~worthless and the regime-specific winners
-    # apply: the HBM rank-sweep traversal (the VMEM lock-step kernel
-    # collapses to 10.6 Mrays/s on dense divergent lanes), 16px-tile ray
-    # order, and the windowed u32-UNORM8 texture gather.
-    dense = {}
-    try:
-        # drop the headline executables first (same reason as the large
-        # scene: their closed-over constants pin HBM — the dense fwd
-        # measured 320 ms with them live vs ~140 ms clean)
-        del fwd, fwd_sh, grad_fn
-        jax.clear_caches()
-        cfg_d = cfg.replace(
-            ortho_scale=256.0, ray_chunk=0, traversal_backend="hbm",
-            ray_tile=16, texture_dtype="uint8",
-        )
-        fwd_d = jax.jit(lambda s, c: render_frame(s, c, cfg_d))
-        img_d = fwd_d(scene, cam)
-        t_fd = timed(fwd_d, scene, cam, warmup=0, iters=3)
-        # hit rate census (from the background alpha channel: miss
-        # pixels carry the exact background color)
-        bg = np.asarray(cfg_d.background)
-        miss = (np.abs(np.asarray(img_d) - bg) < 1e-6).all(-1).sum()
-        dense["hit_rate"] = 1.0 - float(miss) / (width * height)
-        dense["fwd_ms"] = t_fd * 1e3
-        dense["fwd_mrays_per_sec"] = rays_per_frame / t_fd / 1e6
-        print(f"# dense frame ({100*dense['hit_rate']:.0f}% hit): fwd "
-              f"{t_fd*1e3:.1f} ms -> {rays_per_frame/t_fd/1e6:.2f} Mrays/s",
-              file=sys.stderr)
-
-        cfg_dsh = cfg_d.replace(bounces=0, enable_shadows=True)
-        fwd_dsh = jax.jit(lambda s, c: render_frame(s, c, cfg_dsh))
-        t_dsh = timed(fwd_dsh, scene, cam, warmup=1, iters=3)
-        dense["shadows_ms"] = t_dsh * 1e3
-        dense["shadows_mrays_per_sec"] = sh_rays / t_dsh / 1e6
-        print(f"# dense shadows: {t_dsh*1e3:.1f} ms -> "
-              f"{sh_rays/t_dsh/1e6:.2f} Mrays/s", file=sys.stderr)
-
-        grad_d = jax.jit(jax.value_and_grad(
-            lambda p: loss_fn(p, scene, cam, target, cfg_d)))
-        t_gd = timed(grad_d, params, warmup=1, iters=3)
-        _, g_d = grad_d(params)
-        dense["fwd_bwd_ms"] = t_gd * 1e3
-        dense["fwd_bwd_mrays_per_sec"] = rays_per_frame / t_gd / 1e6
-        dense["fwd_bwd_grads_finite"] = bool(
-            np.isfinite(np.asarray(g_d.vert_offsets)).all())
-        print(f"# dense fwd+bwd: {t_gd*1e3:.1f} ms -> "
-              f"{rays_per_frame/t_gd/1e6:.2f} Mrays/s (grads finite: "
-              f"{dense['fwd_bwd_grads_finite']})", file=sys.stderr)
-        del fwd_d, fwd_dsh, grad_d, img_d, g_d
-    except Exception as e:  # pragma: no cover
-        dense["error"] = f"{type(e).__name__}: {e}"
-        print(f"# dense bench failed: {dense['error']}", file=sys.stderr)
-    detail["dense"] = dense
 
     # ---- interactive loop (round-5 verdict item 7): a 20-frame camera
     # orbit at 800x800/3 bounces (the reference's actual usage:
@@ -370,9 +373,10 @@ def main():
 
     large = {}
     try:
-        # headline/dense executables are already dropped above (their
-        # closed-over constants pin HBM: large fwd+bwd measured 251 ->
-        # 341 ms under that pressure); re-clear for the dense block's
+        # drop the headline/interactive executables: their closed-over
+        # constants pin HBM (large fwd+bwd measured 251 -> 341 ms under
+        # that pressure); the persistent compile cache keeps re-JITs cheap
+        del fwd, fwd_sh, grad_fn
         jax.clear_caches()
         scene_l = scene_to_device(sphere_grid(nx=4, ny=4, subdiv=40))
         large["tris"] = int(scene_l.num_faces)
@@ -414,6 +418,20 @@ def main():
         large["traverse_mrays_per_sec"] = width * height / t_tr / 1e6
         large["traverse_hits"] = n_hits
         large["traverse_microsteps"] = total_steps
+        # serve-level lane occupancy census (round-5 verdict item 4) —
+        # a separate instrumented call so the timed kernel stays clean
+        try:
+            _, st_o, occ_o = jax.jit(lambda b, r: traverse_hbm_pallas(
+                b, r, cfg.epsilon, return_occupancy=True))(bvh_l, rays_l)
+            st_o = np.asarray(st_o).astype(np.float64)
+            occ_o = np.asarray(occ_o).astype(np.float64)
+            per_block = occ_o / np.maximum(st_o * 2048.0, 1.0)
+            large["serve_lane_occupancy"] = float(
+                occ_o.sum() / max(st_o.sum() * 2048.0, 1.0))
+            large["serve_lane_occupancy_p10_p50_p90"] = [
+                float(np.percentile(per_block, p)) for p in (10, 50, 90)]
+        except Exception as e:  # pragma: no cover
+            large["serve_lane_occupancy_error"] = str(e)
         # utilization: each micro-step is ~110 (8,128)-vreg VPU ops
         # (17-ch splat 34 + slab/MT ~55 + bookkeeping ~20) at ~1/cycle,
         # 940 MHz -> the compute lower bound for the measured step count
@@ -425,7 +443,9 @@ def main():
             f"({large['builds_per_sec']:.1f}/s), traversal "
             f"{large['traverse_mrays_per_sec']:.2f} Mrays/s "
             f"({total_steps} steps, {large['traverse_pct_of_light']:.0f}% "
-            f"of VPU step-light)", file=sys.stderr)
+            f"of VPU step-light, lane occupancy "
+            f"{100*large.get('serve_lane_occupancy', 0):.0f}%)",
+            file=sys.stderr)
 
         # full fwd frame at 1080p on the large scene (auto backends:
         # hbm traversal + XLA shade gather via the size guard)

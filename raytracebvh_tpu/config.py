@@ -92,11 +92,12 @@ class RenderConfig:
     camera_mode: str = "reference"
     traversal_backend: str = "auto"
     sort_backend: str = "lax"
-    # 'auto' = pallas gather_rows kernel on TPU for the [40, n] leaf
-    # attribute lookup (in-VMEM shuffles + MXU scatter-add backward; XLA
-    # row gathers pay ~4ms per 2M rays regardless of row width), 'xla'
-    # elsewhere.  Texture sampling always uses the XLA quad gather (the
-    # quad table is tens of MB — HBM-resident by necessity).
+    # Leaf-attribute ([n, 40]) gather backend: 'auto' = on TPU the
+    # in-VMEM pallas gather_rows kernel below ~32k leaves (whole table
+    # in VMEM; MXU scatter-add backward) and the HBM 'windowed' gather
+    # above (no VMEM ceiling; morton-sorted leaves + tiled rays keep the
+    # id stream window-coherent — A/B at 102k tris: 152.6 vs 166.5 ms
+    # frame, round 5); 'xla' = the packed row gather.
     shade_gather_backend: str = "auto"
     # Texture quad-table GATHER backend: 'windowed' runs the coherent
     # HBM window kernel (ops/gather_hbm.py — per 2048-ray block, DMA the

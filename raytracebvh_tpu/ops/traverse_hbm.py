@@ -67,6 +67,16 @@ RCH = 10  # ray channels: o.xyz, d.xyz, 1/d.xyz, tmax (any-hit only)
 BIGBOX = 1.0e30
 DEFAULT_WIN = 1024
 DEFAULT_INTERLEAVE = 12  # swept 4-16 on device: 12-14 best (31 Mrays/s at 102k tris)
+# serve rounds per subtile load: swept 1-4 on device at 102k tris —
+# 66.9/64.1/64.0/65.0 ms (p2 default; the latency-bound step makes the
+# second round ~free and descend chains often stay in the subtile)
+DEFAULT_PUMP = 2
+# full-window modes measured SLOWER at 102k tris (round 5): per-subtile
+# sweep 176 ms, cross-subtile window gather 185 ms vs 64 ms default —
+# the lane smear exceeds the window (in-min-subtile occupancy 14.9%),
+# so both pay 4-8x vector work for <2-3x fewer iterations.  Kept
+# selectable for occupancy experiments.
+DEFAULT_WSWEEP = False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -206,17 +216,33 @@ def _slab_mt(row, ox, oy, oz, dx, dy, dz, idx_, idy_, idz_, epsilon):
 
 
 def _make_refill_kernel(any_hit, T, *, n_leaves, ntiles, wb, win, s,
-                        epsilon, per_block, max_iters):
+                        epsilon, per_block, max_iters, pump=1,
+                        track_occ=False, wsweep=False):
     """Persistent T-slot refill sweep (module doc).  ``any_hit``
     switches between nearest-hit and first-hit (occlusion) semantics.
     ``per_block`` is a hard per-block micro-step cap: a capped block
     writes its best-so-far records (graceful truncation, the r3 kernel's
-    per-tile bound); ``max_iters`` is the global iteration backstop."""
+    per-tile bound); ``max_iters`` is the global iteration backstop.
+
+    ``pump``: rounds served per subtile load — the micro-step is
+    LATENCY-bound (645 cycles; doubling the 17-ch shuffle costs +39,
+    scripts/tpu_sweep_diag.py), and a descend (rank+1) or short skip
+    usually stays inside the already-loaded 128-rank subtile, so
+    re-serving the same slice advances those lanes at ~zero marginal
+    latency.  ``track_occ`` adds a per-lane active-serve counter
+    (occupancy accounting; output grows a 5th channel)."""
     done = wb
     ksub = win // LANES
+    och = 5 if track_occ else 4
 
-    def kernel(tbl_hbm, rays_hbm, out_hbm, wbuf, rbuf, obuf,
-               wsem, rsem, osem):
+    def kernel(tbl_hbm, rays_hbm, out_hbm, wbuf, rbuf, obuf, *rest):
+        # occupancy accumulates in a dedicated VMEM scratch (a while-
+        # carried splat-initialized vector hits a Mosaic replicated-
+        # layout relayout error; and obuf[t] itself may be DMA-in-flight)
+        if track_occ:
+            ocbuf, wsem, rsem, osem = rest
+        else:
+            wsem, rsem, osem = rest
         def wdma(t, slot, w0):
             return pltpu.make_async_copy(
                 tbl_hbm.at[w0 // win], wbuf.at[t, slot], wsem.at[t, slot]
@@ -243,43 +269,50 @@ def _make_refill_kernel(any_hit, T, *, n_leaves, ntiles, wb, win, s,
                 wdma(t, 1, win).start()
 
         def serve(t, sub, k, node, hit, dist, leaf, w0):
-            """One micro-step for slot ``t``: serve lanes whose rank sits
-            in 128-rank subtile ``k`` of the current window."""
-            offw = jnp.where((node >= w0) & (node < w0 + win),
-                             node - w0, win)
+            """``pump`` micro-step rounds for slot ``t`` against ONE
+            loaded [17, 128] subtile ``k``: each round serves the lanes
+            whose rank currently sits in that subtile, advances them,
+            and the next round catches lanes that advanced within it."""
             ox, oy, oz = rbuf[t, 0], rbuf[t, 1], rbuf[t, 2]
             dx, dy, dz = rbuf[t, 3], rbuf[t, 4], rbuf[t, 5]
             idx_, idy_, idz_ = rbuf[t, 6], rbuf[t, 7], rbuf[t, 8]
-            off = offw - k * LANES
-            active = (off >= 0) & (off < LANES) & (offw < win)
-            lane = jnp.clip(off, 0, LANES - 1)
-            row = _splat(sub, lane, s)
-            skipr = pltpu.bitcast(row[6], jnp.int32)
-            skipr = jnp.where(skipr < 0, done, skipr)
-            orig = pltpu.bitcast(row[7], jnp.int32)
-            is_leaf = orig < n_leaves
-            tmin, box_ok, tt, tri_ok = _slab_mt(
-                row, ox, oy, oz, dx, dy, dz, idx_, idy_, idz_, epsilon
-            )
-            if any_hit:
-                ray_tmax = rbuf[t, 9]
-                bhit = box_ok & (tmin <= ray_tmax) & active
-                found = bhit & is_leaf & tri_ok & (tt < ray_tmax)
-                hit = jnp.where(found, 1, hit)
+            for _ in range(pump):
+                offw = jnp.where((node >= w0) & (node < w0 + win),
+                                 node - w0, win)
+                off = offw - k * LANES
+                active = (off >= 0) & (off < LANES) & (offw < win)
+                lane = jnp.clip(off, 0, LANES - 1)
+                row = _splat(sub, lane, s)
+                skipr = pltpu.bitcast(row[6], jnp.int32)
+                skipr = jnp.where(skipr < 0, done, skipr)
+                orig = pltpu.bitcast(row[7], jnp.int32)
+                is_leaf = orig < n_leaves
+                tmin, box_ok, tt, tri_ok = _slab_mt(
+                    row, ox, oy, oz, dx, dy, dz, idx_, idy_, idz_, epsilon
+                )
+                if track_occ:
+                    ocbuf[t] = ocbuf[t] + jnp.where(active, 1.0, 0.0)
+                if any_hit:
+                    ray_tmax = rbuf[t, 9]
+                    bhit = box_ok & (tmin <= ray_tmax) & active
+                    found = bhit & is_leaf & tri_ok & (tt < ray_tmax)
+                    hit = jnp.where(found, 1, hit)
+                    nxt = jnp.where(bhit & jnp.logical_not(is_leaf),
+                                    node + 1, skipr)
+                    nxt = jnp.where(found, done, nxt)  # early exit
+                    node = jnp.where(active, nxt, node)
+                    continue
+                hitb = hit > 0
+                bhit = (box_ok & (jnp.logical_not(hitb) | (tmin <= dist))
+                        & active)
+                upd = (bhit & is_leaf & tri_ok
+                       & (jnp.logical_not(hitb) | (tt < dist)))
+                dist = jnp.where(upd, tt, dist)
+                leaf = jnp.where(upd, orig, leaf)
+                hit = jnp.where(upd, 1, hit)
                 nxt = jnp.where(bhit & jnp.logical_not(is_leaf),
                                 node + 1, skipr)
-                nxt = jnp.where(found, done, nxt)  # early exit
                 node = jnp.where(active, nxt, node)
-                return node, hit, dist, leaf
-            hitb = hit > 0
-            bhit = box_ok & (jnp.logical_not(hitb) | (tmin <= dist)) & active
-            upd = (bhit & is_leaf & tri_ok
-                   & (jnp.logical_not(hitb) | (tt < dist)))
-            dist = jnp.where(upd, tt, dist)
-            leaf = jnp.where(upd, orig, leaf)
-            hit = jnp.where(upd, 1, hit)
-            nxt = jnp.where(bhit & jnp.logical_not(is_leaf), node + 1, skipr)
-            node = jnp.where(active, nxt, node)
             return node, hit, dist, leaf
 
         def body(state):
@@ -359,6 +392,9 @@ def _make_refill_kernel(any_hit, T, *, n_leaves, ntiles, wb, win, s,
                         obuf[t, 2] = pltpu.bitcast(hit, jnp.float32)
                     obuf[t, 3] = pltpu.bitcast(
                         jnp.full((s, LANES), st, jnp.int32), jnp.float32)
+                    if track_occ:
+                        obuf[t, 4] = ocbuf[t]
+                        ocbuf[t] = jnp.zeros((s, LANES), jnp.float32)
                     odma(t, blk).start()
 
                     @pl.when(refill)
@@ -387,22 +423,89 @@ def _make_refill_kernel(any_hit, T, *, n_leaves, ntiles, wb, win, s,
                 nb = nb + jnp.where(refill, 1, 0)
                 refills.append(refill)
 
-            # phase 3a: subtile loads — all T issued before any serve,
-            # so no serve waits on another slot's scalar->address chain
-            ks = []
-            subs = []
-            for t in range(T):
-                m = jnp.where(refills[t], 0, ms[t])  # refilled: rank 0
-                ks.append(jnp.clip((m - w0s[t]) // LANES, 0, ksub - 1))
-                subs.append(wbuf[t, slots[t], ks[t]])
+            if wsweep:
+                # phase 3 (window-gather mode): ONE micro-step serving
+                # EVERY in-window lane.  The min-subtile serve measured
+                # 14.9% lane occupancy at 102k tris (lanes smear over
+                # the window's 8 subtiles and skip links jump subtiles),
+                # so 85% of each serve's vector work was masked off.
+                # Here the per-lane row is gathered across ALL resident
+                # subtiles (ksub x 17 shuffles + selects — the
+                # _gather_cols decomposition, window-local), then one
+                # slab/MT advances the whole block: ~4x the vector work
+                # per iteration for ~6.7x fewer iterations.
+                for t in range(T):
+                    node = nodes[t]
+                    offw = jnp.where(
+                        (node >= w0s[t]) & (node < w0s[t] + win),
+                        node - w0s[t], win)
+                    lane = jax.lax.rem(jnp.minimum(offw, win - 1), LANES)
+                    kid = jax.lax.div(jnp.minimum(offw, win - 1), LANES)
+                    row = None
+                    for k in range(ksub):
+                        part = _splat(wbuf[t, slots[t], k], lane, s)
+                        if row is None:
+                            row = part
+                        else:
+                            row = [jnp.where(kid == k, part[c], row[c])
+                                   for c in range(CH)]
+                    ox, oy, oz = rbuf[t, 0], rbuf[t, 1], rbuf[t, 2]
+                    dx, dy, dz = rbuf[t, 3], rbuf[t, 4], rbuf[t, 5]
+                    idx_, idy_, idz_ = rbuf[t, 6], rbuf[t, 7], rbuf[t, 8]
+                    active = offw < win
+                    skipr = pltpu.bitcast(row[6], jnp.int32)
+                    skipr = jnp.where(skipr < 0, done, skipr)
+                    orig = pltpu.bitcast(row[7], jnp.int32)
+                    is_leaf = orig < n_leaves
+                    tmin, box_ok, tt, tri_ok = _slab_mt(
+                        row, ox, oy, oz, dx, dy, dz, idx_, idy_, idz_,
+                        epsilon)
+                    if track_occ:
+                        ocbuf[t] = ocbuf[t] + jnp.where(active, 1.0, 0.0)
+                    if any_hit:
+                        ray_tmax = rbuf[t, 9]
+                        bhit = box_ok & (tmin <= ray_tmax) & active
+                        found = bhit & is_leaf & tri_ok & (tt < ray_tmax)
+                        hits[t] = jnp.where(found, 1, hits[t])
+                        nxt = jnp.where(bhit & jnp.logical_not(is_leaf),
+                                        node + 1, skipr)
+                        nxt = jnp.where(found, done, nxt)
+                        nodes[t] = jnp.where(active, nxt, node)
+                    else:
+                        hitb = hits[t] > 0
+                        bhit = (box_ok
+                                & (jnp.logical_not(hitb)
+                                   | (tmin <= dists[t])) & active)
+                        upd = (bhit & is_leaf & tri_ok
+                               & (jnp.logical_not(hitb)
+                                  | (tt < dists[t])))
+                        dists[t] = jnp.where(upd, tt, dists[t])
+                        leafs[t] = jnp.where(upd, orig, leafs[t])
+                        hits[t] = jnp.where(upd, 1, hits[t])
+                        nxt = jnp.where(bhit & jnp.logical_not(is_leaf),
+                                        node + 1, skipr)
+                        nodes[t] = jnp.where(active, nxt, node)
+                    stepc[t] = stepc[t] + jnp.where(blks[t] >= 0, 1, 0)
+            else:
+                # phase 3a: subtile loads — all T issued before any
+                # serve, so no serve waits on another slot's
+                # scalar->address chain
+                ks = []
+                subs = []
+                for t in range(T):
+                    m = jnp.where(refills[t], 0, ms[t])  # refilled: 0
+                    ks.append(jnp.clip((m - w0s[t]) // LANES, 0,
+                                       ksub - 1))
+                    subs.append(wbuf[t, slots[t], ks[t]])
 
-            # phase 3b: serves — T independent pure-vector chains in one
-            # straight-line block; the VLIW scheduler overlaps them
-            for t in range(T):
-                nodes[t], hits[t], dists[t], leafs[t] = serve(
-                    t, subs[t], ks[t], nodes[t], hits[t], dists[t],
-                    leafs[t], w0s[t])
-                stepc[t] = stepc[t] + jnp.where(blks[t] >= 0, 1, 0)
+                # phase 3b: serves — T independent pure-vector chains in
+                # one straight-line block; the VLIW scheduler overlaps
+                # them
+                for t in range(T):
+                    nodes[t], hits[t], dists[t], leafs[t] = serve(
+                        t, subs[t], ks[t], nodes[t], hits[t], dists[t],
+                        leafs[t], w0s[t])
+                    stepc[t] = stepc[t] + jnp.where(blks[t] >= 0, pump, 0)
 
             return (tuple(nodes), tuple(hits), tuple(dists), tuple(leafs),
                     tuple(w0s), tuple(slots), tuple(blks), tuple(stepc),
@@ -416,6 +519,9 @@ def _make_refill_kernel(any_hit, T, *, n_leaves, ntiles, wb, win, s,
                 live = live | (blks[t] >= 0)
             return live & (it < max_iters)
 
+        if track_occ:
+            for t in range(T):
+                ocbuf[t] = jnp.zeros((s, LANES), jnp.float32)
         zero = jnp.zeros((s, LANES), jnp.int32)
         zf = jnp.zeros((s, LANES), jnp.float32)
         state = (
@@ -461,6 +567,8 @@ def _make_refill_kernel(any_hit, T, *, n_leaves, ntiles, wb, win, s,
                     obuf[t, 2] = pltpu.bitcast(hit, jnp.float32)
                 obuf[t, 3] = pltpu.bitcast(
                     jnp.full((s, LANES), st, jnp.int32), jnp.float32)
+                if track_occ:
+                    obuf[t, 4] = ocbuf[t]
                 odma(t, blk).start()
 
             @pl.when(interrupted | (f_pos[t] > 0))
@@ -473,7 +581,7 @@ def _make_refill_kernel(any_hit, T, *, n_leaves, ntiles, wb, win, s,
         # out-DMAs are drained above, so obuf[0] is free).
         @pl.when(f_nb < ntiles)
         def _():
-            for c in range(4):
+            for c in range(och):
                 obuf[0, c] = jnp.zeros((s, LANES), jnp.float32)
 
             def wbody(b, carry):
@@ -521,7 +629,8 @@ def _resolve_table(bvh: BVH, win):
 
 
 def _run_refill(any_hit, bvh, rays9, ntiles, s, tbl, win, epsilon,
-                max_steps, interleave, interpret):
+                max_steps, interleave, interpret, pump=1,
+                track_occ=False, wsweep=False):
     n = bvh.n_leaves
     wb = tbl.shape[0] * win
     # per_block: hard per-block micro-step cap (cfg.max_traversal_steps
@@ -534,9 +643,11 @@ def _run_refill(any_hit, bvh, rays9, ntiles, s, tbl, win, epsilon,
     # serve never-DMA'd scratch every iteration — wasted VMEM + vector
     # work on small dispatches
     T = max(1, min(interleave, ntiles))
+    och = 5 if track_occ else 4
     kernel = _make_refill_kernel(
         any_hit, T, n_leaves=n, ntiles=ntiles, wb=wb, win=win, s=s,
         epsilon=epsilon, per_block=per_block, max_iters=max_iters,
+        pump=pump, track_occ=track_occ, wsweep=wsweep,
     )
     return pl.pallas_call(
         kernel,
@@ -546,11 +657,14 @@ def _run_refill(any_hit, bvh, rays9, ntiles, s, tbl, win, epsilon,
             pl.BlockSpec(memory_space=pl.ANY),  # ray blocks stay in HBM
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((ntiles, 4, s, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ntiles, och, s, LANES),
+                                       jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((T, 2, win // LANES, CHP, LANES), jnp.float32),
             pltpu.VMEM((T, RCH, s, LANES), jnp.float32),
-            pltpu.VMEM((T, 4, s, LANES), jnp.float32),
+            pltpu.VMEM((T, och, s, LANES), jnp.float32),
+        ] + ([pltpu.VMEM((T, s, LANES), jnp.float32)] if track_occ
+             else []) + [
             pltpu.SemaphoreType.DMA((T, 2)),
             pltpu.SemaphoreType.DMA((T,)),
             pltpu.SemaphoreType.DMA((T,)),
@@ -571,12 +685,17 @@ def traverse_hbm_pallas(
     interpret: bool | None = None,
     return_steps: bool = False,
     interleave: int = DEFAULT_INTERLEAVE,
+    pump: int = DEFAULT_PUMP,
+    return_occupancy: bool = False,
+    wsweep: bool = DEFAULT_WSWEEP,
 ):
     """Nearest-hit traversal, HBM-resident tree (see module doc).  Same
     contract as ops.traverse.traverse; no scene-size VMEM ceiling.
 
     ``return_steps=True`` additionally returns the [ntiles] per-block
-    micro-step counts (for utilization accounting in bench.py)."""
+    micro-step counts; ``return_occupancy=True`` (implies steps) also
+    returns the [ntiles] per-block active-lane-serve totals — lane
+    occupancy of block b = occ[b] / (steps[b] * block_rays)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tbl, win = _resolve_table(bvh, win)
@@ -586,13 +705,18 @@ def traverse_hbm_pallas(
     rays9 = jnp.concatenate([origin, direction, inv, pad], axis=1)
 
     out = _run_refill(False, bvh, rays9, ntiles, s, tbl, win, epsilon,
-                      max_steps, interleave, interpret)
+                      max_steps, interleave, interpret, pump=pump,
+                      track_occ=return_occupancy, wsweep=wsweep)
     steps = jax.lax.bitcast_convert_type(out[:, 3, 0, 0], jnp.int32)
+    if return_occupancy:  # channel 4 holds f32 active-serve counts
+        occ = out[:, 4].reshape(ntiles, -1).sum(axis=1).astype(jnp.int32)
     out = out[:, :3].transpose(1, 0, 2, 3).reshape(3, ntiles * s * LANES)
     dist = out[0, :nrays]
     leaf = jax.lax.bitcast_convert_type(out[1, :nrays], jnp.int32)
     hit = jax.lax.bitcast_convert_type(out[2, :nrays], jnp.int32) > 0
     rec = HitRecord(hit=hit, distance=dist, leaf=leaf)
+    if return_occupancy:
+        return rec, steps, occ
     if return_steps:
         return rec, steps
     return rec
@@ -608,6 +732,8 @@ def traverse_any_hbm_pallas(
     win: int | None = None,
     interpret: bool | None = None,
     interleave: int = DEFAULT_INTERLEAVE,
+    pump: int = DEFAULT_PUMP,
+    wsweep: bool = DEFAULT_WSWEEP,
 ):
     """Any-hit (occlusion) refill sweep: [R] bool."""
     if interpret is None:
@@ -622,6 +748,7 @@ def traverse_any_hbm_pallas(
     rays9 = jnp.concatenate([origin, direction, inv, tmax], axis=1)
 
     out = _run_refill(True, bvh, rays9, ntiles, s, tbl, win, epsilon,
-                      max_steps, interleave, interpret)
+                      max_steps, interleave, interpret, pump=pump,
+                      wsweep=wsweep)
     occ = out[:, 0].reshape(rpad)[:nrays]
     return jax.lax.bitcast_convert_type(occ, jnp.int32) > 0

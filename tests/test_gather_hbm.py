@@ -89,3 +89,30 @@ def test_windowed_texture_grad_parity():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_windowed_leaf_gather_parity():
+    """shade_gather_backend='windowed' (the >32k-leaf TPU auto choice)
+    must match the XLA row gather exactly — image and grads."""
+    scene, cam = _scene_cam()
+    base = RenderConfig(width=32, height=32, bounces=1, ortho_scale=0.2)
+    a = np.asarray(render_frame_jit(
+        scene, cam, base.replace(shade_gather_backend="xla")))
+    b = np.asarray(render_frame_jit(
+        scene, cam, base.replace(shade_gather_backend="windowed")))
+    np.testing.assert_array_equal(a, b)
+
+    cfg = RenderConfig(width=16, height=16, bounces=1, ortho_scale=0.2)
+    target = jnp.zeros((16, 16, 4), jnp.float32)
+    params = init_params(scene)
+
+    def grads(c):
+        return jax.grad(
+            lambda p: loss_fn(p, scene, cam, target, c))(params)
+
+    g0 = grads(cfg.replace(shade_gather_backend="xla"))
+    g1 = grads(cfg.replace(shade_gather_backend="windowed"))
+    for x, y in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
