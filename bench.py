@@ -309,9 +309,17 @@ def main():
           f"{sh_rays/t_sh/1e6:.2f} Mrays/s (primary+shadow)", file=sys.stderr)
 
     # ---- fwd+bwd (the headline): gradient of the image loss w.r.t.
-    # vertex offsets + material colors (params/target defined up top)
+    # vertex offsets + material colors (params/target defined up top).
+    # The TRAINING config differs from the forward config: chunk-culling
+    # wins forward (52.9 vs 82.6 ms) but loses fwd+bwd (139.9 vs 95.4 —
+    # the backward pays the 81-chunk scan without the cull's savings),
+    # where the unchunked HBM rank-sweep + 16px tiles + UNORM8 quads
+    # win (round-5 sweep; u8 is bit-exact for the 8-bit BMP source, so
+    # loss/grads are unchanged).
+    cfg_bwd = cfg.replace(ray_chunk=0, ray_tile=16,
+                          traversal_backend="hbm", texture_dtype="uint8")
     grad_fn = jax.jit(jax.value_and_grad(
-        lambda p: loss_fn(p, scene, cam, target, cfg)
+        lambda p: loss_fn(p, scene, cam, target, cfg_bwd)
     ))
     t_step = timed(grad_fn, params, warmup=1, iters=3)
     try:  # XLA cost-model numbers for the roofline section (the
@@ -341,10 +349,15 @@ def main():
         for _ in range(20):
             cams.append(orbit(cams[-1], 0.1, 0.0))
         np.asarray(f_i(scene, cams[0])[0, 0])  # compile + warm
-        t0 = time.perf_counter()
+        # naive: block per frame; MEDIAN per-frame time x frames (the
+        # per-frame host sync occasionally stalls ~1s on the tunnel —
+        # one bench run read 0.79 FPS naive vs 12.1 the run before)
+        fts = []
         for c in cams[1:]:
+            t0 = time.perf_counter()
             jax.block_until_ready(f_i(scene, c))
-        t_naive = time.perf_counter() - t0
+            fts.append(time.perf_counter() - t0)
+        t_naive = float(np.median(fts)) * 20.0
         t0 = time.perf_counter()
         img_i = None
         for c in cams[1:]:
@@ -354,6 +367,8 @@ def main():
         detail["interactive"] = {
             "frames": 20,
             "naive_fps": 20.0 / t_naive,
+            "naive_frame_ms_p10_p50_p90": [
+                float(np.percentile(fts, p)) * 1e3 for p in (10, 50, 90)],
             "pipelined_fps": 20.0 / t_pipe,
             "speedup": t_naive / t_pipe,
         }

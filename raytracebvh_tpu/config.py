@@ -54,10 +54,11 @@ class RenderConfig:
         A 'pallas_pre' pre-order gather kernel existed through round 3
         but was never auto-selected and measured 0.02 Mrays/s at 100k
         leaves; deleted.
-      sort_backend: 'lax' (one fused jax.lax.sort — the DEFAULT, chosen
-        by an on-device A/B inside the in-stream build bench: 0.26 ms
-        vs 0.51 ms bitonic per 3k-tri build, round 5; bench.py re-runs
-        the A/B every round as sort_ab_build_ms), 'bitonic' (the
+      sort_backend: 'lax' (one fused jax.lax.sort — the DEFAULT; the
+        on-device in-stream A/B that bench.py records every run as
+        sort_ab_build_ms is a statistical tie at 3k tris even with
+        k=33 scans — 0.33 vs 0.32 ms, winner flips run-to-run — so the
+        simpler backend with no VMEM size cap ships), 'bitonic' (the
         whole-problem-in-VMEM Pallas network, ops/sort_pallas.py —
         kept selectable + tested), 'auto' (bitonic on TPU; predates the
         A/B) or 'radix' (the reference's 32-dispatch 1-bit LSD radix

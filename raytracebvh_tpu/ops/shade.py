@@ -172,6 +172,22 @@ def barycentric_weights3(tri0, tri1, tri2, point):
     return w0, w1, w2
 
 
+def _texel_dims(tex_hw, tid, dtype):
+    """Per-ray texture (h, w) WITHOUT per-row gathers where possible.
+
+    ``tex_hw[tid, 0]`` / ``tex_hw[tid, 1]`` are two R-row gathers — XLA
+    TPU prices gathers per ROW, so on a 2M-ray frame these two lookups
+    into a [T, 2] table cost tens of ms (round-5 bisect: the large-scene
+    "texture" stage was ~half these dim gathers).  Single-texture scenes
+    (both bench scenes) broadcast scalars instead; multi-texture scenes
+    pay ONE packed [R, 2] row gather."""
+    if tex_hw.shape[0] == 1:
+        return (jnp.asarray(tex_hw[0, 0], dtype),
+                jnp.asarray(tex_hw[0, 1], dtype))
+    hw = tex_hw[tid]  # [R, 2] — one row gather
+    return hw[:, 0].astype(dtype), hw[:, 1].astype(dtype)
+
+
 def sample_texture_planes(tex_planes, tex_hw, tex_id, u, v):
     """Bilinear wrap sample from channel-split texture planes.
 
@@ -181,8 +197,7 @@ def sample_texture_planes(tex_planes, tex_hw, tex_id, u, v):
     tex_id -1 samples white.
     """
     tid = jnp.maximum(tex_id, 0)
-    h = tex_hw[tid, 0].astype(u.dtype)
-    w = tex_hw[tid, 1].astype(u.dtype)
+    h, w = _texel_dims(tex_hw, tid, u.dtype)
     uu = u - jnp.floor(u)
     vv = v - jnp.floor(v)
     x = uu * w - 0.5
@@ -226,8 +241,7 @@ def sample_texture_rows(tex_flat, tex_hw, tex_id, u, v, hmax, wmax):
     identical to sample_texture / sample_texture_planes.
     """
     tid = jnp.maximum(tex_id, 0)
-    h = tex_hw[tid, 0].astype(u.dtype)
-    w = tex_hw[tid, 1].astype(u.dtype)
+    h, w = _texel_dims(tex_hw, tid, u.dtype)
     uu = u - jnp.floor(u)
     vv = v - jnp.floor(v)
     x = uu * w - 0.5
@@ -377,8 +391,7 @@ def sample_texture_quads(tex_quads, tex_hw, tex_id, u, v, hmax, wmax):
     x0 = floor(u*w - .5) in [-1, w-1], so wrap needs only a select, not an
     integer mod (mod is several VPU ops; select is one)."""
     tid = jnp.maximum(tex_id, 0)
-    h = tex_hw[tid, 0].astype(u.dtype)
-    w = tex_hw[tid, 1].astype(u.dtype)
+    h, w = _texel_dims(tex_hw, tid, u.dtype)
     uu = u - jnp.floor(u)
     vv = v - jnp.floor(v)
     x = uu * w - 0.5

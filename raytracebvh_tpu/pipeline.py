@@ -706,18 +706,13 @@ def _frame_tex_quads(scene: Scene, cfg: RenderConfig):
     ndim)."""
     backend = cfg.texture_gather_backend
     if backend == "auto":
-        # windowed pays off when the quad table is large (the XLA row
-        # gather's per-row cost dominates: ~36 ms/pass at 1080p dense on
-        # a 1.6M-row table) AND only on TPU; on small tables the window
-        # serve machinery loses to the plain gather (large-scene 64x64
-        # checker: 219.6 ms windowed vs 197.4 xla — round-5 A/B)
-        t, h, w = (scene.textures.shape[0], scene.textures.shape[1],
-                   scene.textures.shape[2])
-        big = t * h * w >= 65536  # >= 512 windows (4 MB of f32 quads)
-        backend = (
-            "windowed" if (jax.default_backend() == "tpu" and big)
-            else "xla"
-        )
+        # windowed on TPU at every table size: XLA's row gather prices
+        # per row (~36 ms/pass on the dense frame's 1.6M-row table) and
+        # with the serve k-range guard + texel-dims fix the windowed
+        # kernel also wins on a 64x64 checker (98.8 vs 121.3 ms frame at
+        # 102k tris, round-5 drain A/B; an earlier unguarded version
+        # lost that case)
+        backend = "windowed" if jax.default_backend() == "tpu" else "xla"
     if backend == "windowed":
         tex_quads = shade_ops.pack_texture_quads_tiled(
             scene.textures, scene.tex_hw
