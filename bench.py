@@ -371,6 +371,11 @@ def main():
                 float(np.percentile(fts, p)) * 1e3 for p in (10, 50, 90)],
             "pipelined_fps": 20.0 / t_pipe,
             "speedup": t_naive / t_pipe,
+            "note": ("naive uses per-frame block_until_ready — verified "
+                     "to synchronize for frame-scale (multi-MB-output) "
+                     "programs on this platform, unlike scalar-output "
+                     "probes (see scripts/bench_util.py); pipelined "
+                     "drains the in-order queue once via a host fetch"),
         }
         print(f"# interactive 800x800x3-bounce orbit: naive "
               f"{20.0/t_naive:.2f} FPS, pipelined {20.0/t_pipe:.2f} FPS "

@@ -57,7 +57,9 @@ def main(argv=None):
                    metavar=("X", "Y", "Z"),
                    help="world-space light position for --shadows")
     p.add_argument("--metrics", default=None,
-                   help="append per-frame metrics as JSONL to this file")
+                   help="append per-frame metrics as JSONL to this file "
+                        "(implies --sync: per-frame times require the "
+                        "per-frame host sync)")
     p.add_argument("--sync", action="store_true",
                    help="block on every frame (accurate per-frame "
                         "metrics).  Default is a pipelined loop: the "
@@ -120,6 +122,10 @@ def main(argv=None):
     from raytracebvh_tpu.utils.logging import MetricsWriter
 
     rays_per_frame = cfg.width * cfg.height * (1 + cfg.bounces)
+    if args.metrics and not args.sync:
+        # per-frame rows need per-frame completion times
+        print("note: --metrics implies --sync (per-frame timing)")
+        args.sync = True
     img = None
     t0 = time.perf_counter()
     frames = 0

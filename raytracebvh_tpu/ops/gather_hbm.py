@@ -39,12 +39,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .gather_pallas import _round_up
+
 LANES = 128
 DEFAULT_BATCH = 8  # windows per DMA descriptor
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def pack_rows_windowed(tbl, batch: int = DEFAULT_BATCH):
@@ -80,12 +78,19 @@ def _gather_kernel(tbl_hbm, idx_ref, out_ref, wbuf, sem, *, nw, B, cp, s):
     w0_first = jnp.clip(minp0, 0, nw - B)
     dma(0, w0_first).start()
 
+    # iteration backstop: in-range indices need at most ceil(nw/B)
+    # batches (starts only move forward past served windows); an
+    # out-of-range index (w >= nw — a caller bug) would otherwise spin
+    # the while_loop forever since no batch can cover it.  On backstop
+    # exit the offending lanes keep their zero-initialized output.
+    max_iters = nw // B + 8
+
     def cond(state):
         pend = state[0]
-        return jnp.max(pend) > 0
+        return (jnp.max(pend) > 0) & (state[4] < max_iters)
 
     def body(state):
-        pend, w0, minp, buf = state
+        pend, w0, minp, buf, it = state
         dma(buf, w0).wait()
         whi = jnp.max(jnp.where(pend > 0, w, -1))
         # Standing prefetch: predict the next batch is the next B
@@ -138,11 +143,21 @@ def _gather_kernel(tbl_hbm, idx_ref, out_ref, wbuf, sem, *, nw, B, cp, s):
             dma(1 - buf, pred).wait()
             dma(1 - buf, nxt).start()
 
-        return pend, nxt, nxt_minp, 1 - buf
+        return pend, nxt, nxt_minp, 1 - buf, it + 1
 
-    jax.lax.while_loop(
-        cond, body, (pend0, w0_first, minp0, jnp.int32(0))
+    state = jax.lax.while_loop(
+        cond, body, (pend0, w0_first, minp0, jnp.int32(0), jnp.int32(0))
     )
+
+    # Backstop exit only (pend remains): the final iteration always
+    # started one prefetch into the returned buffer at the returned
+    # start (left => more-prefetch, late-prefetch, or mispredict
+    # refetch) — consume it so its semaphore can't pair with a later
+    # grid step's wait.  Normal exit leaves no DMA in flight (module
+    # invariant above).
+    @pl.when(jnp.max(state[0]) > 0)
+    def _():
+        dma(state[3], state[1]).wait()
 
 
 def _gather_hbm_fwd_impl(tbl_packed, idx, c_out, block, interpret):

@@ -316,9 +316,7 @@ def pack_texture_quads(textures, tex_hw):
 # per 2048-ray block (u mapped along screen y) vs ~8-32 tiled.
 TILE_Y, TILE_X = 8, 16
 
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from .gather_pallas import _round_up  # noqa: E402 (shared pad helper)
 
 
 def pack_texture_quads_tiled(textures, tex_hw):
@@ -420,14 +418,17 @@ def sample_texture_quads(tex_quads, tex_hw, tex_id, u, v, hmax, wmax):
         idxw = tiled_texel_index(tid, xi, yi, hmax, wmax)
         if tex_quads.dtype == jnp.int32:
             # u32-packed UNORM8 (pack_quads_u32): 4-channel gather +
-            # shift/mask unpack
+            # shift/mask unpack.  NB `/ 255.0` like every other UNORM8
+            # path — a `* (1/255)` constant differs by 1 ulp for 126 of
+            # the 256 byte values unless the backend folds division to
+            # reciprocal, and the u8 paths' bit-parity test relies on
+            # exact agreement.
             qp = gather_rows_packed(tex_quads, idxw, 4)  # [4, R] i32
             qu = jax.lax.bitcast_convert_type(qp, jnp.uint32)
-            inv255 = jnp.asarray(1.0 / 255.0, u.dtype)
 
             def qc(k):
                 b = ((qu[k // 4] >> (8 * (k % 4))) & 0xFF)
-                return b.astype(u.dtype) * inv255
+                return b.astype(u.dtype) / 255.0
         else:
             qcm = gather_rows_packed(tex_quads, idxw, 16)  # [16, R]
             if qcm.dtype == jnp.uint8:

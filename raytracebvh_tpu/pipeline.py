@@ -364,6 +364,14 @@ def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord,
 
         A = gather_rows_hbm(bvh.leaf_attrs, leaf)
         a = lambda k: A[k]
+    elif backend != "xla":
+        # fail loudly: an unknown string would silently take the
+        # ~10x-slower XLA row gather (same contract as
+        # resolve_traversal_backend)
+        raise ValueError(
+            f"unknown shade_gather_backend {backend!r}; expected "
+            "auto, pallas, windowed or xla"
+        )
     else:
         Arow = bvh.leaf_attrs[leaf]  # [R, 40] — the one XLA gather
         # (a transpose to channel-major before slicing was measured

@@ -4,42 +4,24 @@ The round-4 headline frame hits 0.15% of rays (the reference's ortho rays
 are spaced in fixed world units, RayTraceLaunch.hlsl:23-27, so at 1080p
 the subject covers the same ~3k pixels as at 800x800).  The dense headline
 config needs an ortho_scale where the subject covers >= 50% of pixels —
-this probe finds it, then times fwd / shadows / fwd+bwd at that scale
-with the shipping bench config.
+this probe finds it (timing variants live in tpu_dense_sweep.py).
 
 Run on the chip: python scripts/tpu_dense_probe.py
 """
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 sys.path.insert(0, ".")
 
 from raytracebvh_tpu import Camera, RenderConfig
 from raytracebvh_tpu.core.types import scene_to_device
 from raytracebvh_tpu.io.obj import load_obj
-from raytracebvh_tpu.models.inverse import init_params, loss_fn
-from raytracebvh_tpu.pipeline import (
-    build_bvh,
-    make_rays,
-    render_frame,
-    resolve_traversal_backend,
-)
+from raytracebvh_tpu.pipeline import build_bvh, make_rays
 from raytracebvh_tpu.camera import camera_matrices
 from raytracebvh_tpu.utils.assets import find_asset
-
-
-def timed(fn, *args, warmup=1, iters=3):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / iters
 
 
 def main():

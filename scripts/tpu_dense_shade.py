@@ -5,6 +5,13 @@ Cumulative in-stream stages on top of build+traversal; the delta between
 consecutive rows isolates each component.
 
 Run on the chip: python scripts/tpu_dense_shade.py
+
+NB timing caveat (round-5 metrology): the block_until_ready timed() here
+reads enqueue time + backpressure on the tunneled chip; it is stable and
+comparable WITHIN one run (the sweeps pick winners by large deltas), but
+carries a ~25-40 ms constant — scripts/bench_util.timed_drain is the
+bias-free method and was used to confirm every decision this script's
+numbers motivated.
 """
 
 import sys

@@ -6,6 +6,13 @@ finds what does: ray_chunk size (incl. unchunked), ray_tile coherence,
 remat, and a stage decomposition of the fwd frame.
 
 Run on the chip: python scripts/tpu_dense_sweep.py [fwd|bwd|stages]
+
+NB timing caveat (round-5 metrology): the block_until_ready timed() here
+reads enqueue time + backpressure on the tunneled chip; it is stable and
+comparable WITHIN one run (the sweeps pick winners by large deltas), but
+carries a ~25-40 ms constant — scripts/bench_util.timed_drain is the
+bias-free method and was used to confirm every decision this script's
+numbers motivated.
 """
 
 import sys

@@ -8,6 +8,13 @@ the loaded 128-rank subtile, so re-serving it advances those lanes at
 ~zero marginal latency.
 
 Run on the chip: python scripts/tpu_pump_sweep.py
+
+NB timing caveat (round-5 metrology): the block_until_ready timed() here
+reads enqueue time + backpressure on the tunneled chip; it is stable and
+comparable WITHIN one run (the sweeps pick winners by large deltas), but
+carries a ~25-40 ms constant — scripts/bench_util.timed_drain is the
+bias-free method and was used to confirm every decision this script's
+numbers motivated.
 """
 
 import sys
