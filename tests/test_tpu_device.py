@@ -139,8 +139,81 @@ def test_hbm_any_refill_parity_on_device():
         np.asarray(occ_h)[::13][:512], np.asarray(occ_x))
 
 
+@requires_tpu
+def test_windowed_gather_parity_on_device():
+    """Mosaic-compiled windowed HBM gather (round 5) == plain indexing,
+    on real texel-stream-shaped indices (clustered runs + jumps)."""
+    from raytracebvh_tpu.ops.gather_hbm import gather_rows_hbm
+
+    rng = np.random.default_rng(2)
+    tbl = jnp.asarray(rng.normal(size=(20000, 16)), jnp.float32)
+    base = np.repeat(rng.integers(0, 19000, 64), 4096 // 64)
+    idx = np.clip(base + rng.integers(0, 900, 4096), 0, 19999).astype(
+        np.int32)
+    out = jax.jit(lambda t, i: gather_rows_hbm(t, i))(tbl, jnp.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(tbl)[idx].T)
+
+
+@requires_tpu
+def test_windowed_texture_frame_parity_on_device():
+    """Full frame: windowed (tiled-window + u32-UNORM8) texture path ==
+    the XLA quad gather, Mosaic-compiled."""
+    from raytracebvh_tpu.pipeline import render_frame
+
+    scene, cfg, cam, bvh, rays = _setup(n_tris=400, width=96, height=64)
+    cfg = cfg.replace(ortho_scale=0.3)
+    a = jax.jit(lambda s, c: render_frame(
+        s, c, cfg.replace(texture_gather_backend="xla",
+                          texture_dtype="uint8")))(scene, cam)
+    b = jax.jit(lambda s, c: render_frame(
+        s, c, cfg.replace(texture_gather_backend="windowed",
+                          texture_dtype="uint8")))(scene, cam)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@requires_tpu
+def test_hbm_pump_parity_on_device():
+    """pump=1/2/3 refill sweeps produce identical hit records on chip."""
+    from raytracebvh_tpu.ops.traverse_hbm import traverse_hbm_pallas
+
+    scene, cfg, cam, bvh, rays = _setup(n_tris=40000, width=128, height=96)
+    ref = None
+    for pump in (1, 2, 3):
+        rec = jax.jit(lambda b, r, p=pump: traverse_hbm_pallas(
+            b, r, cfg.epsilon, pump=p))(bvh, rays)
+        cur = (np.asarray(rec.hit), np.asarray(rec.leaf),
+               np.asarray(rec.distance))
+        if ref is None:
+            ref = cur
+        else:
+            np.testing.assert_array_equal(ref[0], cur[0])
+            np.testing.assert_array_equal(ref[1], cur[1])
+            np.testing.assert_allclose(ref[2], cur[2])
+
+
+@requires_tpu
+def test_windowed_leaf_gather_frame_parity_on_device():
+    """shade_gather_backend windowed == xla, full frame on chip (the
+    >32k-leaf auto route)."""
+    from raytracebvh_tpu.pipeline import render_frame
+
+    scene, cfg, cam, bvh, rays = _setup(n_tris=2000, width=96, height=64)
+    cfg = cfg.replace(ortho_scale=0.3)
+    a = jax.jit(lambda s, c: render_frame(
+        s, c, cfg.replace(shade_gather_backend="xla")))(scene, cam)
+    b = jax.jit(lambda s, c: render_frame(
+        s, c, cfg.replace(shade_gather_backend="windowed")))(scene, cam)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 if __name__ == "__main__":
-    # direct runner (bypasses conftest's CPU pin)
+    # direct runner (bypasses conftest's CPU pin); make the repo root
+    # importable when invoked as `python tests/test_tpu_device.py`
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if jax.default_backend() != "tpu":
         print("no TPU backend; skipping")
     else:
@@ -154,3 +227,11 @@ if __name__ == "__main__":
         print("hbm refill parity ok")
         test_hbm_any_refill_parity_on_device()
         print("hbm any-hit refill parity ok")
+        test_windowed_gather_parity_on_device()
+        print("windowed gather parity ok")
+        test_windowed_texture_frame_parity_on_device()
+        print("windowed texture frame parity ok")
+        test_hbm_pump_parity_on_device()
+        print("hbm pump parity ok")
+        test_windowed_leaf_gather_frame_parity_on_device()
+        print("windowed leaf gather frame parity ok")
