@@ -334,6 +334,52 @@ def main():
           f"{rays_per_sec/1e6:.2f} Mrays/s "
           f"(round 1: {ROUND1_RAYS_PER_SEC/1e6:.1f})", file=sys.stderr)
 
+    # ---- in-stream marginal frame times (supplementary): the blocked
+    # per-call numbers above carry a ~25-40 ms host-sync constant on the
+    # tunneled chip (BENCH_NOTES round 5); a K-frame lax.scan's marginal
+    # cancels it and reads pure device time per frame.  The primary
+    # metric stays the blocked method for round-over-round continuity.
+    try:
+        def frames_k(k, c):
+            @jax.jit
+            def f(s):
+                def step(acc, yaw):
+                    cc = cam.replace(eye=cam.eye.at[0].add(yaw))
+                    return acc + render_frame(s, cc, c).sum(), None
+                acc, _ = jax.lax.scan(
+                    step, jnp.float32(0.0), jnp.linspace(0.0, 0.01, k))
+                return acc
+            return f
+
+        def grads_k(k):
+            @jax.jit
+            def f(p):
+                def step(acc, eps):
+                    p2 = jax.tree_util.tree_map(lambda x: x + eps, p)
+                    l, g = jax.value_and_grad(
+                        lambda q: loss_fn(q, scene, cam, target, cfg_bwd)
+                    )(p2)
+                    return acc + l + g.vert_offsets.sum(), None
+                acc, _ = jax.lax.scan(
+                    step, jnp.float32(0.0), jnp.linspace(0.0, 1e-7, k))
+                return acc
+            return f
+
+        tf1 = timed(frames_k(1, cfg), scene, warmup=1, iters=3)
+        tf5 = timed(frames_k(5, cfg), scene, warmup=1, iters=3)
+        m_fwd = max((tf5 - tf1) / 4.0, 1e-9)
+        tg1 = timed(grads_k(1), params, warmup=1, iters=3)
+        tg3 = timed(grads_k(3), params, warmup=1, iters=3)
+        m_bwd = max((tg3 - tg1) / 2.0, 1e-9)
+        detail["fwd_marginal_ms"] = m_fwd * 1e3
+        detail["fwd_bwd_marginal_ms"] = m_bwd * 1e3
+        print(f"# in-stream marginal: fwd {m_fwd*1e3:.1f} ms "
+              f"({rays_per_frame/m_fwd/1e6:.1f} Mrays/s device-only), "
+              f"fwd+bwd {m_bwd*1e3:.1f} ms "
+              f"({rays_per_frame/m_bwd/1e6:.1f} Mrays/s)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# marginal frame timing failed: {e}", file=sys.stderr)
+
     # ---- interactive loop (round-5 verdict item 7): a 20-frame camera
     # orbit at 800x800/3 bounces (the reference's actual usage:
     # per-frame loop, Graphics.cpp:667-831).  Naive = host blocks each
