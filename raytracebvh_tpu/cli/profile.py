@@ -21,15 +21,26 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--bounces", type=int, default=1)
-    p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp")
-    p.add_argument("--sort", choices=["lax", "radix"], default="lax")
+    p.add_argument("--backend",
+                   choices=["auto", "jnp", "pallas", "hbm"], default="auto",
+                   help="traversal backend (same choices as cli.render)")
+    p.add_argument("--sort", choices=["lax", "bitonic", "radix"],
+                   default="lax")
     p.add_argument("--ray-chunk", type=int, default=0)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--trace", default=None,
                    help="also capture an XLA profiler trace to this dir")
+    p.add_argument("--platform", choices=["default", "cpu", "tpu"],
+                   default="default",
+                   help="force the JAX platform (see cli.render)")
     args = p.parse_args(argv)
 
     import os
+
+    if args.platform != "default":
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", args.platform)
 
     from raytracebvh_tpu import Camera, RenderConfig
     from raytracebvh_tpu.core.types import scene_to_device
