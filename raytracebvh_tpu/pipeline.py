@@ -335,19 +335,17 @@ def _shade_hit_soa(scene: Scene, bvh: BVH, o3, d3, rec: HitRecord,
     leaf = rec.leaf
     backend = cfg.shade_gather_backend if cfg is not None else "xla"
     if backend == "auto":
-        # capability guard: gather_rows pins the whole [40, n] attribute
-        # table in VMEM (gather_pallas.py _gather_fwd_impl) — ~160 bytes
-        # per leaf.  Beyond ~32k leaves (5 MB + ray blocks) that thrashes
-        # or fails on a 16 MB core, so large scenes take the HBM windowed
-        # gather instead (morton-sorted leaves + tiled rays keep the id
-        # stream window-coherent; A/B at 102k tris: 152.6 ms frame vs
-        # 166.5 XLA row gather, round 5).
-        if jax.default_backend() != "tpu":
-            backend = "xla"
-        elif bvh.leaf_attrs.shape[0] <= 32768:
-            backend = "pallas"
-        else:
-            backend = "windowed"
+        # windowed on TPU at every scene size (round-5 A/Bs): its HBM
+        # window DMAs beat the in-VMEM pallas gather's whole-table
+        # residency on the dense frame (57.8 vs 65.6 ms) and match it
+        # sparse, and its size-aware backward reuses gather_pallas's
+        # MXU one-hot-matmul scatter below 32k leaves (training step
+        # 93.9 -> 87.5 ms sparse, 79.7 -> 71.9 dense) with an XLA
+        # scatter fallback above; at 102k tris the frame measured
+        # 152.6 ms windowed vs 166.5 XLA row gather.
+        backend = (
+            "windowed" if jax.default_backend() == "tpu" else "xla"
+        )
     if backend == "pallas":
         from .ops.gather_pallas import gather_rows
 
