@@ -145,3 +145,36 @@ def test_hbm_backstop_returns_without_hang():
                               block_rays=256, win=256, interpret=True)
     assert rec.hit.shape == (256,)
     assert np.asarray(rec.distance).shape == (256,)
+
+
+def test_pump_and_wsweep_modes_parity():
+    """The serve-mode variants must all reproduce the XLA walk exactly:
+    pump>1 (multi-round serves per subtile load — the shipped default is
+    pump=2) and the opt-in wsweep full-window gather (kept selectable
+    after measuring slower at 102k tris, BENCH_NOTES round 5)."""
+    bvh = _build(700, seed=21)
+    rays = _random_rays(1500, seed=22)
+    ref = traverse(bvh, rays, 0.01)
+    for kw in (dict(pump=1), dict(pump=3), dict(wsweep=True),
+               dict(wsweep=True, pump=2)):
+        rec, steps, occ = traverse_hbm_pallas(
+            bvh, rays, 0.01, block_rays=512, return_occupancy=True, **kw)
+        np.testing.assert_array_equal(np.asarray(rec.hit),
+                                      np.asarray(ref.hit))
+        np.testing.assert_array_equal(np.asarray(rec.leaf),
+                                      np.asarray(ref.leaf))
+        np.testing.assert_allclose(np.asarray(rec.distance),
+                                   np.asarray(ref.distance))
+        # occupancy invariant: total active-lane-serves is mode-
+        # independent (every lane takes the same walk)
+        assert int(np.asarray(occ).sum()) > 0
+        assert int(np.asarray(steps).sum()) > 0
+
+
+def test_any_hit_wsweep_parity():
+    bvh = _build(500, seed=23)
+    rays = _random_rays(1000, seed=24)
+    ref = traverse_any(bvh, rays, 0.01, 1e30)
+    occ = traverse_any_hbm_pallas(bvh, rays, 0.01, 1e30, block_rays=512,
+                                  wsweep=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(occ))
