@@ -186,18 +186,32 @@ def structured_tile_shape(width: int, height: int, tile: int):
     return th, tile
 
 
-def tile_flat(x, width: int, height: int, th: int, tw: int):
+def tile_flat(x, width: int, height: int, th: int, tw: int,
+              order: str = "row"):
     """[height*width] row-major -> (th x tw)-tile-major, as a pure
-    reshape+transpose (see structured_tile_shape)."""
-    return (
-        x.reshape(height // th, th, width // tw, tw)
-        .transpose(0, 2, 1, 3)
-        .reshape(height * width)
-    )
+    reshape+transpose (see structured_tile_shape).
+
+    ``order`` sets how TILES are sequenced: 'row' walks tiles along x
+    (a 2048-ray kernel block then spans a wide th x 16*tw strip);
+    'col' walks them down y first, so consecutive tiles STACK — the
+    same block becomes a ~square 16*th x tw region, a tighter tree-path
+    union (traversal probe at 102k tris: 9% fewer micro-steps,
+    BENCH_NOTES round 5 item 7)."""
+    t4 = x.reshape(height // th, th, width // tw, tw)
+    if order == "col":
+        return t4.transpose(2, 0, 1, 3).reshape(height * width)
+    return t4.transpose(0, 2, 1, 3).reshape(height * width)
 
 
-def untile_flat(x, width: int, height: int, th: int, tw: int):
+def untile_flat(x, width: int, height: int, th: int, tw: int,
+                order: str = "row"):
     """Inverse of tile_flat."""
+    if order == "col":
+        return (
+            x.reshape(width // tw, height // th, th, tw)
+            .transpose(1, 2, 0, 3)
+            .reshape(height * width)
+        )
     return (
         x.reshape(height // th, width // tw, th, tw)
         .transpose(0, 2, 1, 3)
@@ -205,12 +219,13 @@ def untile_flat(x, width: int, height: int, th: int, tw: int):
     )
 
 
-def tile_rays(rays: Rays, width: int, height: int, th: int, tw: int) -> Rays:
+def tile_rays(rays: Rays, width: int, height: int, th: int, tw: int,
+              order: str = "row") -> Rays:
     """permute_rays for the structured tile order (column-wise
     reshape+transpose, no gathers)."""
     o = rays.origin
     d = rays.direction
-    tf = lambda c: tile_flat(c, width, height, th, tw)
+    tf = lambda c: tile_flat(c, width, height, th, tw, order)
     return Rays(
         origin=jnp.stack([tf(o[:, k]) for k in range(3)], axis=-1),
         direction=jnp.stack([tf(d[:, k]) for k in range(3)], axis=-1),

@@ -124,6 +124,15 @@ class RenderConfig:
     # reference's 15x15 threadgroup dispatch (Graphics.cpp:788-792).  Pure
     # data permutation: images are bit-identical either way.
     ray_tile: int = 0
+    # Tile SEQUENCE for ray_tile > 0: 'row' walks tiles along x (a
+    # 2048-ray kernel block spans a wide strip), 'col' stacks them down
+    # y first so blocks are ~square.  Pure data permutation either way
+    # (reshape+transpose, no gathers); images bit-identical.  Measured
+    # round 5: 'col' tightens TRAVERSAL (9% fewer micro-steps, 64.3 ->
+    # 61.1 ms at 102k tris) but widens the texel-window footprint and
+    # loses at the FRAME level (dense fwd+bwd 97.5 -> 132.4 ms), so
+    # 'row' ships; 'col' stays for traversal-dominated workloads.
+    ray_tile_order: str = "row"
     # Traverse rays in sequential chunks of this size (0 = one batch).
     # Bounds the lock-step penalty (one deep ray stalls only its chunk, not
     # the whole frame) and the live-state footprint for multi-megapixel

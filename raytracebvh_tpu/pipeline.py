@@ -680,10 +680,12 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
             # gathers for the 10 permuted columns (see
             # camera.structured_tile_shape)
             th, tw = st
-            rays = tile_rays(rays, cfg.width, cfg.height, th, tw)
+            rays = tile_rays(rays, cfg.width, cfg.height, th, tw,
+                             cfg.ray_tile_order)
             color = shade_rays(scene, bvh, rays, cfg, light3)
             color = jnp.stack(
-                [untile_flat(color[:, c], cfg.width, cfg.height, th, tw)
+                [untile_flat(color[:, c], cfg.width, cfg.height, th, tw,
+                             cfg.ray_tile_order)
                  for c in range(4)],
                 axis=-1,
             )

@@ -90,3 +90,41 @@ def test_structured_tile_render_identical():
     a = np.asarray(render_frame_jit(scene, cam, base))
     b = np.asarray(render_frame_jit(scene, cam, base.replace(ray_tile=16)))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_ray_tile_col_order_identical():
+    """'col' tile sequencing (square kernel-block footprints) is a pure
+    permutation: images match 'row' and untiled bit-for-bit up to f32
+    fusion noise."""
+    import numpy as np
+
+    from raytracebvh_tpu import Camera, RenderConfig, render_frame_jit
+    from raytracebvh_tpu.core.types import scene_to_device
+    from raytracebvh_tpu.models.procedural import random_triangles
+
+    scene = scene_to_device(random_triangles(120, seed=7,
+                                             with_texture=True))
+    cam = Camera.default()
+    base = RenderConfig(width=32, height=32, bounces=1, ortho_scale=0.2,
+                        ray_tile=16)
+    a = np.asarray(render_frame_jit(scene, cam, base))
+    b = np.asarray(render_frame_jit(
+        scene, cam, base.replace(ray_tile_order="col")))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_tile_flat_col_roundtrip():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracebvh_tpu.camera import tile_flat, untile_flat
+
+    W, H, th, tw = 48, 40, 8, 16
+    x = jnp.arange(H * W, dtype=jnp.float32)
+    for order in ("row", "col"):
+        t = tile_flat(x, W, H, th, tw, order)
+        u = untile_flat(t, W, H, th, tw, order)
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(x))
+    # col order: the second tile is the one BELOW the first
+    t = np.asarray(tile_flat(x, W, H, th, tw, "col"))
+    assert t[0] == 0 and t[th * tw] == th * W
